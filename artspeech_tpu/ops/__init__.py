@@ -1,0 +1,14 @@
+from artspeech_tpu.ops.bspline import bspline_projection, regularize_bsplines
+from artspeech_tpu.ops.distances import (
+    euclidean_distance,
+    mean_p2cp,
+    min_distance,
+    pairwise_distances,
+    pearson_correlation,
+)
+from artspeech_tpu.ops.resample import (
+    arclength_resample,
+    interp1d,
+    resample_linear_np,
+    resample_nearest_np,
+)

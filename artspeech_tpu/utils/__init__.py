@@ -1,0 +1,7 @@
+from artspeech_tpu.utils.io import (
+    make_indices_dict,
+    npy_to_xarticul,
+    sequences_from_dict,
+    xarticul_to_npy,
+)
+from artspeech_tpu.utils.masks import make_padding_mask

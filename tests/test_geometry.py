@@ -1,0 +1,124 @@
+"""Tests for tract variables, tube generation and the area function."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from artspeech_tpu.core.constants import (
+    LOWER_LIP,
+    PHARYNX,
+    SOFT_PALATE_MIDLINE,
+    TONGUE,
+    TUBE_ARTICULATORS,
+    UPPER_INCISOR,
+    UPPER_LIP,
+)
+from artspeech_tpu.geometry import (
+    area_function,
+    compute_tract_variables,
+    default_semipolar_grid,
+    evenly_spaced_fx,
+    generate_vocal_tract_tube,
+    generate_vocal_tract_tube_batch,
+    intersect_semipolar_grid,
+    tract_variables_from_stack,
+)
+
+
+def _line(p0, p1, n=50):
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return (np.asarray(p0)[None, :] * (1 - t) + np.asarray(p1)[None, :] * t).astype(
+        np.float32
+    )
+
+
+def _fake_contours():
+    """Synthetic articulator contours with known TV geometry."""
+    return {
+        LOWER_LIP: _line((0.0, 0.0), (1.0, 0.0)),
+        UPPER_LIP: _line((0.0, 0.5), (1.0, 0.5)),
+        TONGUE: _line((0.0, 1.0), (1.0, 1.0)),
+        UPPER_INCISOR: _line((0.0, 1.25), (1.0, 1.25)),
+        SOFT_PALATE_MIDLINE: _line((0.0, 2.0), (1.0, 2.0)),
+        PHARYNX: _line((0.0, 2.4), (1.0, 2.4)),
+    }
+
+
+def test_tract_variables_parallel_lines():
+    contours = {k: jnp.array(v) for k, v in _fake_contours().items()}
+    tvs = compute_tract_variables(contours)
+    assert abs(float(tvs["LA"]["value"]) - 0.5) < 1e-5
+    assert abs(float(tvs["TTCD"]["value"]) - 0.25) < 1e-5
+    assert abs(float(tvs["VEL"]["value"]) - 0.4) < 1e-5
+    # Unimplemented TVs stay None like the reference (tract_variables.py:97-123).
+    assert tvs["LP"] is None and tvs["GLO"] is None
+    # PoCs lie on the right contours.
+    assert abs(float(tvs["LA"]["poc_1"][1]) - 0.0) < 1e-5
+    assert abs(float(tvs["LA"]["poc_2"][1]) - 0.5) < 1e-5
+
+
+def test_tract_variables_batched_stack():
+    contours = _fake_contours()
+    names = sorted(contours)
+    stack1 = np.stack([contours[n].T for n in names])  # (Nart, 2, 50)
+    stack = np.stack([stack1, stack1])[None]  # (1, 2, Nart, 2, 50)
+    tvs = tract_variables_from_stack(jnp.array(stack), names)
+    assert tvs["LA"]["value"].shape == (1, 2)
+    np.testing.assert_allclose(np.asarray(tvs["LA"]["value"]), 0.5, atol=1e-5)
+
+
+def test_generate_vocal_tract_tube_shapes():
+    rng = np.random.default_rng(0)
+    contours = {
+        name: (_line((i * 0.05, 0.0), (i * 0.05 + 0.2, 0.3)) + 0.01 * rng.normal(size=(50, 2))).astype(np.float32)
+        for i, name in enumerate(TUBE_ARTICULATORS)
+    }
+    internal, external = generate_vocal_tract_tube(contours)
+    assert internal.shape == (100, 2)
+    assert external.shape == (100, 2)
+    assert np.isfinite(np.asarray(internal)).all()
+
+
+def test_generate_vocal_tract_tube_batch():
+    rng = np.random.default_rng(1)
+    stack = rng.normal(size=(2, 3, 11, 2, 50)).astype(np.float32)
+    internal, external = generate_vocal_tract_tube_batch(
+        jnp.array(stack), sorted(TUBE_ARTICULATORS)
+    )
+    assert internal.shape == (2, 3, 100, 2)
+    assert external.shape == (2, 3, 100, 2)
+
+
+def test_area_function_constant_radius():
+    # Two parallel walls 0.2 apart -> radius 0.1 everywhere, area pi*r^2.
+    x = np.linspace(0.0, 1.0, 100)
+    internal = jnp.array(np.stack([x, np.zeros_like(x)], axis=1))
+    external = jnp.array(np.stack([x, 0.2 * np.ones_like(x)], axis=1))
+    dists, fx = area_function(internal, external)
+    np.testing.assert_allclose(np.asarray(fx), np.pi * 0.1**2, rtol=1e-5)
+    assert abs(float(dists[-1]) - 1.0) < 1e-5
+
+
+def test_evenly_spaced_fx():
+    x = jnp.array(np.linspace(0.0, 2.0, 40))
+    fx = 3.0 * x
+    out = np.asarray(evenly_spaced_fx(x, fx, n_samples=10))
+    assert out.shape == (2, 10)
+    np.testing.assert_allclose(out[1], 3.0 * out[0], rtol=1e-4, atol=1e-5)
+
+
+def test_intersect_semipolar_grid_hits_walls():
+    grid = default_semipolar_grid()
+    # Walls: two concentric arcs around the default grid center.
+    center = np.array([0.45, 0.45])
+    ang = np.linspace(np.deg2rad(30.0), np.deg2rad(-120.0), 100)
+    internal = center + 0.1 * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    external = center + 0.3 * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    p_int, p_ext, valid = intersect_semipolar_grid(
+        jnp.array(internal), jnp.array(external), jnp.array(grid)
+    )
+    assert bool(valid.any())
+    r_int = np.linalg.norm(np.asarray(p_int)[np.asarray(valid)] - center, axis=1)
+    r_ext = np.linalg.norm(np.asarray(p_ext)[np.asarray(valid)] - center, axis=1)
+    # Lines that crossed both arcs recover the radii.
+    assert (np.abs(r_int - 0.1) < 0.02).mean() > 0.5
+    assert (np.abs(r_ext - 0.3) < 0.02).mean() > 0.5

@@ -1,0 +1,113 @@
+"""Golden-value unit tests for ops: distances, B-splines, resampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from artspeech_tpu.ops import (
+    arclength_resample,
+    euclidean_distance,
+    interp1d,
+    mean_p2cp,
+    pairwise_distances,
+    pearson_correlation,
+    regularize_bsplines,
+    resample_linear_np,
+    resample_nearest_np,
+)
+
+
+def test_pairwise_distances_matches_numpy():
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(3, 5, 2)).astype(np.float32)
+    v = rng.normal(size=(3, 7, 2)).astype(np.float32)
+    got = np.asarray(pairwise_distances(jnp.array(u), jnp.array(v)))
+    want = np.linalg.norm(u[:, :, None, :] - v[:, None, :, :], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mean_p2cp_golden():
+    # u = {(0,0), (1,0)}, v = {(0,1)}:
+    # u2cp = [1, sqrt(2)] mean -> (1 + sqrt(2)) / 2 ; v2cp = [1] mean -> 1
+    u = jnp.array([[0.0, 0.0], [1.0, 0.0]])
+    v = jnp.array([[0.0, 1.0]])
+    got = float(mean_p2cp(u, v))
+    want = ((1.0 + np.sqrt(2.0)) / 2.0 + 1.0) / 2.0
+    assert abs(got - want) < 1e-6
+
+
+def test_mean_p2cp_is_symmetric():
+    rng = np.random.default_rng(1)
+    u = jnp.array(rng.normal(size=(10, 2)))
+    v = jnp.array(rng.normal(size=(13, 2)))
+    assert abs(float(mean_p2cp(u, v)) - float(mean_p2cp(v, u))) < 1e-6
+
+
+def test_euclidean_distance_layout():
+    # (..., 2, D) layout as in the reference loss.
+    out = jnp.zeros((1, 1, 1, 2, 4))
+    tgt = jnp.ones((1, 1, 1, 2, 4))
+    got = np.asarray(euclidean_distance(out, tgt))
+    np.testing.assert_allclose(got, np.sqrt(2.0) * np.ones((1, 1, 1, 4)), rtol=1e-6)
+
+
+def test_pearson_correlation_perfect_and_masked():
+    t = np.arange(10.0)
+    x = jnp.array(t)[None, :]
+    y = jnp.array(2.0 * t + 1.0)[None, :]
+    assert abs(float(pearson_correlation(x, y, axis=1)[0]) - 1.0) < 1e-5
+
+    # Mask out a corrupted tail: correlation should be 1 again.
+    y_bad = np.array(2.0 * t + 1.0)
+    y_bad[7:] = -100.0
+    mask = jnp.array((t < 7)[None, :])
+    got = float(pearson_correlation(x, jnp.array(y_bad)[None, :], mask=mask, axis=1)[0])
+    assert abs(got - 1.0) < 1e-5
+
+
+def test_bspline_regularization_smooths_and_preserves_shape():
+    t = np.linspace(0, 2 * np.pi, 50)
+    clean = np.stack([np.cos(t), np.sin(t)], axis=1)
+    rng = np.random.default_rng(2)
+    noisy = clean + 0.05 * rng.normal(size=clean.shape)
+    smoothed = np.asarray(regularize_bsplines(jnp.array(noisy)))
+    assert smoothed.shape == (50, 2)
+    err_noisy = np.linalg.norm(noisy - clean, axis=1).mean()
+    err_smooth = np.linalg.norm(smoothed - clean, axis=1).mean()
+    assert err_smooth < err_noisy
+
+
+def test_bspline_regularization_batched():
+    rng = np.random.default_rng(3)
+    contours = rng.normal(size=(4, 3, 50, 2)).astype(np.float32)
+    out = np.asarray(regularize_bsplines(jnp.array(contours)))
+    assert out.shape == (4, 3, 50, 2)
+    single = np.asarray(regularize_bsplines(jnp.array(contours[1, 2])))
+    np.testing.assert_allclose(out[1, 2], single, rtol=1e-4, atol=1e-5)
+
+
+def test_resample_nearest_matches_torch_semantics():
+    pts = np.arange(10.0)[:, None]
+    out = resample_nearest_np(pts, 5)
+    # floor(i * 10/5) = 0, 2, 4, 6, 8
+    np.testing.assert_array_equal(out[:, 0], [0, 2, 4, 6, 8])
+
+
+def test_resample_linear_endpoints():
+    pts = np.stack([np.arange(7.0), np.arange(7.0) ** 2], axis=1)
+    out = resample_linear_np(pts, 50)
+    np.testing.assert_allclose(out[0], pts[0])
+    np.testing.assert_allclose(out[-1], pts[-1])
+
+
+def test_interp1d_linear():
+    x = jnp.array([0.0, 1.0, 2.0])
+    y = jnp.array([0.0, 10.0, 20.0])
+    q = jnp.array([0.5, 1.5, 2.0])
+    np.testing.assert_allclose(np.asarray(interp1d(q, x, y)), [5.0, 15.0, 20.0], atol=1e-6)
+
+
+def test_arclength_resample_straight_line():
+    pts = jnp.array([[0.0, 0.0], [0.1, 0.0], [1.0, 0.0]])
+    out = np.asarray(arclength_resample(pts, 11))
+    np.testing.assert_allclose(out[:, 0], np.linspace(0, 1, 11), atol=1e-6)
+    np.testing.assert_allclose(out[:, 1], np.zeros(11), atol=1e-6)
