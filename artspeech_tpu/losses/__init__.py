@@ -1,0 +1,6 @@
+from artspeech_tpu.losses.articulation import (
+    euclidean_distance_mm,
+    masked_euclidean_loss,
+    p2cp_distance_mm,
+    recognition_feature_loss,
+)

@@ -1,0 +1,206 @@
+"""Mask-aware GRU layers built on lax.scan.
+
+TPU-native replacement for torch ``nn.GRU`` + ``pack_padded_sequence``
+(reference encoder_decoder/models.py:111,136-138): instead of packing,
+sequences stay padded at fixed (bucketed) lengths and the recurrence is
+masked — the hidden state freezes outside the valid region. The input
+projection for all timesteps is hoisted out of the scan into one large
+(B*T, E) x (E, 3H) matmul that maps onto the MXU; only the (B, H) x (H, 3H)
+hidden projection stays inside the scan.
+
+Gate math follows torch semantics:
+    r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+    z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+    n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
+    h' = (1 - z) * n + z * h
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class GRULayer(nn.Module):
+    """Single-direction masked GRU over (B, T, E) -> (B, T, H)."""
+
+    hidden_size: int
+    reverse: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """
+        Args:
+            x: (B, T, E) inputs.
+            mask: (B, T) bool; True on valid timesteps.
+        Returns:
+            (B, T, H) outputs; zero at padded positions when the carry
+            never updated (matching pack_padded semantics).
+        """
+        batch, _, in_features = x.shape
+        hidden = self.hidden_size
+        dtype = self.dtype or x.dtype
+
+        scale_i = 1.0 / (in_features**0.5)
+        scale_h = 1.0 / (hidden**0.5)
+        w_i = self.param(
+            "wi", nn.initializers.uniform(scale=2 * scale_i), (in_features, 3 * hidden)
+        )
+        b_i = self.param("bi", nn.initializers.zeros, (3 * hidden,))
+        w_h = self.param(
+            "wh", nn.initializers.uniform(scale=2 * scale_h), (hidden, 3 * hidden)
+        )
+        b_h = self.param("bh", nn.initializers.zeros, (3 * hidden,))
+
+        # One big MXU matmul for every timestep's input projection.
+        x_proj = x.astype(dtype) @ w_i.astype(dtype) + b_i.astype(dtype)
+
+        if self.reverse:
+            x_proj = x_proj[:, ::-1]
+            mask = mask[:, ::-1]
+
+        w_h_c = w_h.astype(dtype)
+        b_h_c = b_h.astype(dtype)
+
+        def step(h, inputs):
+            xg, m = inputs  # (B, 3H), (B,)
+            hg = h @ w_h_c + b_h_c
+            r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
+            z = jax.nn.sigmoid(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
+            n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
+            h_new = (1.0 - z) * n + z * h
+            h_new = jnp.where(m[:, None], h_new, h)
+            return h_new, h_new
+
+        h0 = jnp.zeros((batch, hidden), dtype)
+        _, ys = jax.lax.scan(
+            step, h0, (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1))
+        )
+        ys = ys.swapaxes(0, 1)  # (B, T, H)
+        if self.reverse:
+            ys = ys[:, ::-1]
+        return ys
+
+
+class BiGRU(nn.Module):
+    """Stacked bidirectional GRU: (B, T, E) -> (B, T, 2H).
+
+    Equivalent of ``nn.GRU(num_layers=N, bidirectional=True)`` as used by the
+    reference ArtSpeech (encoder_decoder/models.py:111). Inter-layer dropout
+    matches torch (applied to each layer's output except the last).
+    """
+
+    hidden_size: int
+    num_layers: int = 2
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        out = x
+        for layer in range(self.num_layers):
+            fwd = GRULayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
+            bwd = GRULayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class GRUStack(nn.Module):
+    """Stacked unidirectional GRU: (B, T, E) -> (B, T, H)."""
+
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        out = x
+        for layer in range(self.num_layers):
+            out = GRULayer(self.hidden_size, dtype=self.dtype)(out, mask)
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class BiLSTM(nn.Module):
+    """Stacked bidirectional LSTM (RNNType.LSTM option of the latent
+    sequence model, reference phoneme_to_articulation/__init__.py:47-49)."""
+
+    hidden_size: int
+    num_layers: int = 2
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        out = x
+        for layer in range(self.num_layers):
+            fwd = LSTMLayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
+            bwd = LSTMLayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class LSTMLayer(nn.Module):
+    """Single-direction masked LSTM (torch gate order i, f, g, o)."""
+
+    hidden_size: int
+    reverse: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask):
+        batch, _, in_features = x.shape
+        hidden = self.hidden_size
+        dtype = self.dtype or x.dtype
+
+        scale_i = 1.0 / (in_features**0.5)
+        scale_h = 1.0 / (hidden**0.5)
+        w_i = self.param(
+            "wi", nn.initializers.uniform(scale=2 * scale_i), (in_features, 4 * hidden)
+        )
+        b_i = self.param("bi", nn.initializers.zeros, (4 * hidden,))
+        w_h = self.param(
+            "wh", nn.initializers.uniform(scale=2 * scale_h), (hidden, 4 * hidden)
+        )
+        b_h = self.param("bh", nn.initializers.zeros, (4 * hidden,))
+
+        x_proj = x.astype(dtype) @ w_i.astype(dtype) + b_i.astype(dtype)
+        if self.reverse:
+            x_proj = x_proj[:, ::-1]
+            mask = mask[:, ::-1]
+
+        w_h_c = w_h.astype(dtype)
+        b_h_c = b_h.astype(dtype)
+
+        def step(carry, inputs):
+            h, c = carry
+            xg, m = inputs
+            hg = h @ w_h_c + b_h_c
+            gates = xg + hg
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            keep = m[:, None]
+            h_new = jnp.where(keep, h_new, h)
+            c_new = jnp.where(keep, c_new, c)
+            return (h_new, c_new), h_new
+
+        h0 = jnp.zeros((batch, hidden), dtype)
+        (_, _), ys = jax.lax.scan(
+            step, (h0, h0), (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1))
+        )
+        ys = ys.swapaxes(0, 1)
+        if self.reverse:
+            ys = ys[:, ::-1]
+        return ys

@@ -1,0 +1,20 @@
+from artspeech_tpu.train.checkpoint import (
+    load_params,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
+from artspeech_tpu.train.state import (
+    EarlyStopping,
+    PlateauScheduler,
+    TrainState,
+    count_parameters,
+    create_train_state,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from artspeech_tpu.train.step import (
+    make_artspeech_eval_step,
+    make_artspeech_train_step,
+)

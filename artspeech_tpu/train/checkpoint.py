@@ -1,0 +1,64 @@
+"""Checkpoint save/restore via orbax.
+
+Equivalent of the reference checkpoint dicts {epoch, model, optimizer,
+scheduler, best_metric, epochs_since_best} saved with ``torch.save``
+(train_phoneme_to_articulation.py:303-314), but storing the full TrainState
+pytree plus host-side scheduler state.
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(directory: str, state, aux: Optional[Dict[str, Any]] = None):
+    """Save params+opt_state pytree and auxiliary JSON metadata."""
+    directory = os.path.abspath(directory)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        os.path.join(directory, "state"),
+        {"params": state.params, "opt_state": state.opt_state, "step": state.step},
+        force=True,
+    )
+    if aux is not None:
+        with open(os.path.join(directory, "aux.json"), "w") as f:
+            json.dump(aux, f)
+
+
+def restore_checkpoint(directory: str, state):
+    """Restore into an existing TrainState template. Returns (state, aux)."""
+    directory = os.path.abspath(directory)
+    ckptr = ocp.PyTreeCheckpointer()
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    restored = ckptr.restore(os.path.join(directory, "state"), item=template)
+    state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    aux_path = os.path.join(directory, "aux.json")
+    aux = None
+    if os.path.isfile(aux_path):
+        with open(aux_path) as f:
+            aux = json.load(f)
+    return state, aux
+
+
+def save_params(path: str, params):
+    """Save a bare parameter pytree (model-only artifact, like the reference
+    ``best_model.pt`` state dicts)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params(path: str, template):
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path), item=template)

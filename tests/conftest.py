@@ -1,11 +1,20 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax imports."""
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Note: /root/.axon_site/sitecustomize.py imports jax at interpreter startup,
+so env vars set here are too late for jax.config defaults — we must update
+the config explicitly (backends are still uninitialized at conftest time).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

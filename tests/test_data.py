@@ -1,0 +1,151 @@
+"""Data-layer tests: textgrid parsing, synthetic corpus, collectors,
+dataset items, tail clipping and bucketed batching."""
+
+import os
+
+import numpy as np
+import pytest
+
+from artspeech_tpu.core.config import GOTTINGEN_CONFIG
+from artspeech_tpu.core.constants import TUBE_ARTICULATORS, UPPER_INCISOR
+from artspeech_tpu.core.vocab import build_vocabulary
+from artspeech_tpu.data import (
+    ArtSpeechDataset,
+    BucketedLoader,
+    DATABASE_COLLECTORS,
+    Normalize,
+    TailClipper,
+    critical_mask,
+    read_textgrid,
+)
+from artspeech_tpu.data.synthetic_corpus import make_synthetic_corpus
+from artspeech_tpu.utils import sequences_from_dict
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    info = make_synthetic_corpus(
+        root,
+        subjects=("s1",),
+        sequences=("S01", "S02"),
+        n_sentences=3,
+        frames_per_sentence=10,
+    )
+    return info
+
+
+def test_textgrid_roundtrip(corpus):
+    tg_path = os.path.join(corpus["root"], "s1", "S01", "vol_s1_S01.textgrid")
+    grid = read_textgrid(tg_path)
+    names = grid.get_tier_names()
+    assert "SentenceTier" in names and "PhonTier" in names
+    sent = grid.get_tier_by_name("SentenceTier")
+    assert len(sent.intervals) == 3
+    phon = grid.get_tier_by_name("PhonTier")
+    assert len(phon.intervals) == 12
+    assert phon.intervals[0].start_time == pytest.approx(0.0)
+
+
+def test_collector_sentences(corpus):
+    collector = DATABASE_COLLECTORS["gottingen"](corpus["root"])
+    seqs = sequences_from_dict(corpus["root"], {"s1": []})
+    assert len(seqs) == 2
+    data = collector.collect_data(seqs)
+    assert len(data) == 6  # 3 sentences x 2 sequences
+    first = data[0]
+    assert first["n_frames"] > 0
+    assert len(first["phonemes"]) == len(first["frame_ids"])
+    assert first["has_all"] is True
+
+
+def test_dataset_item_shapes(corpus):
+    vocab = build_vocabulary(corpus["phonemes"])
+    articulators = sorted(TUBE_ARTICULATORS)
+    dataset = ArtSpeechDataset(
+        corpus["root"],
+        "gottingen",
+        [("s1", "S01")],
+        vocab,
+        articulators,
+        clip_tails=True,
+        TVs=["LA", "TTCD"],
+    )
+    assert len(dataset) == 3
+    item = dataset[0]
+    T = item["length"]
+    assert item["targets"].shape == (T, 11, 2, 50)
+    assert item["references"].shape == (T, 1, 2, 50)
+    assert item["critical_masks"].shape == (2, T)
+    assert item["tokens"].shape == (T,)
+    # Contours are recentred near (0.3, 0.3): reference incisor tip must be there.
+    ref = item["references"][0, 0]
+    np.testing.assert_allclose(ref[:, -1], [0.3, 0.3], atol=1e-5)
+    assert np.isfinite(item["targets"]).all()
+    assert item["targets"].min() > -1.0 and item["targets"].max() < 2.0
+
+
+def test_bucketed_loader_fixed_shapes(corpus):
+    vocab = build_vocabulary(corpus["phonemes"])
+    dataset = ArtSpeechDataset(
+        corpus["root"],
+        "gottingen",
+        sequences_from_dict(corpus["root"], {"s1": []}),
+        vocab,
+        sorted(TUBE_ARTICULATORS),
+        TVs=["LA"],
+    )
+    loader = BucketedLoader(dataset, batch_size=4, buckets=(16, 32), seed=1)
+    batches = list(loader)
+    assert len(batches) >= 1
+    for batch, meta in batches:
+        assert batch["tokens"].shape in [(4, 16), (4, 32)]
+        B, T = batch["tokens"].shape
+        assert batch["targets"].shape == (B, T, 11, 2, 50)
+        assert batch["lengths"].shape == (B,)
+        assert (batch["lengths"] <= T).all()
+        # Padding rows have zero length and zero targets.
+        for i in range(B):
+            L = batch["lengths"][i]
+            assert np.all(batch["targets"][i, L:] == 0.0)
+    # Deterministic reshuffle per epoch.
+    again = list(loader)
+    assert len(again) == len(batches)
+
+
+def test_tail_clipper_no_op_without_method():
+    clipper = TailClipper(GOTTINGEN_CONFIG)
+    contour = np.random.default_rng(0).uniform(size=(50, 2)).astype(np.float32)
+    out = clipper.clip("pharynx", contour, {})
+    np.testing.assert_array_equal(out, contour)
+
+
+def test_tail_clipper_tongue_clips_and_resamples():
+    rng = np.random.default_rng(1)
+    cfg = GOTTINGEN_CONFIG
+    tongue = np.stack(
+        [np.linspace(0.2, 0.8, 50), np.linspace(0.9, 0.1, 50)], axis=1
+    ).astype(np.float32)
+    lower_incisor = np.stack(
+        [np.linspace(0.5, 0.6, 50), np.linspace(0.1, 0.5, 50)], axis=1
+    ).astype(np.float32)
+    epiglottis = np.stack(
+        [np.full(50, 0.25), np.linspace(0.3, 0.6, 50)], axis=1
+    ).astype(np.float32)
+    clipper = TailClipper(cfg)
+    out = clipper.clip_tongue_tails(tongue, lower_incisor=lower_incisor, epiglottis=epiglottis)
+    assert out.shape == (50, 2)
+    # Front-tail points (2nd half) above the lower-incisor max-y must be gone.
+    ref_y = lower_incisor[:, 1].max()
+    assert (out[25:, 1] < ref_y + 0.2).all()
+
+
+def test_critical_mask():
+    mask = critical_mask(["LA", "TTCD"], ["p", "a", "t", "#"])
+    np.testing.assert_array_equal(mask, [[1, 0, 0, 0], [0, 0, 1, 0]])
+
+
+def test_normalize_inverse():
+    norm = Normalize(mean=np.array([1.0, 2.0]), std=np.array([2.0, 4.0]))
+    x = np.array([[3.0, 10.0]])
+    np.testing.assert_allclose(norm.inverse(norm(x)), x)

@@ -1,0 +1,162 @@
+"""Tests for GRU ops, ArtSpeech model, losses and the train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from artspeech_tpu.models import ArtSpeech, SimpleArtSpeech
+from artspeech_tpu.losses import masked_euclidean_loss, p2cp_distance_mm
+from artspeech_tpu.ops.gru import BiGRU, GRULayer
+from artspeech_tpu.train import (
+    EarlyStopping,
+    PlateauScheduler,
+    create_train_state,
+    get_learning_rate,
+    make_artspeech_eval_step,
+    make_artspeech_train_step,
+    set_learning_rate,
+)
+
+
+def test_gru_matches_torch():
+    """Gate math parity with torch.nn.GRU on a full-length sequence."""
+    import torch
+
+    B, T, E, H = 2, 5, 3, 4
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, T, E)).astype(np.float32)
+
+    tg = torch.nn.GRU(E, H, num_layers=1, batch_first=True)
+    with torch.no_grad():
+        out_t, _ = tg(torch.from_numpy(x))
+    out_t = out_t.numpy()
+
+    layer = GRULayer(hidden_size=H)
+    params = layer.init(jax.random.PRNGKey(0), jnp.array(x), jnp.ones((B, T), bool))
+    # Port torch weights: torch weight_ih_l0 is (3H, E) in r,z,n order.
+    wi = tg.weight_ih_l0.detach().numpy().T
+    wh = tg.weight_hh_l0.detach().numpy().T
+    bi = tg.bias_ih_l0.detach().numpy()
+    bh = tg.bias_hh_l0.detach().numpy()
+    params = {"params": {"wi": wi, "bi": bi, "wh": wh, "bh": bh}}
+    out_j = np.asarray(layer.apply(params, jnp.array(x), jnp.ones((B, T), bool)))
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-5)
+
+
+def test_gru_mask_freezes_state():
+    """Outputs beyond each sequence's length must be zero (pack_padded parity)."""
+    B, T, E, H = 3, 6, 4, 5
+    x = jnp.array(np.random.default_rng(1).normal(size=(B, T, E)), jnp.float32)
+    lengths = jnp.array([6, 3, 1])
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    layer = GRULayer(hidden_size=H)
+    params = layer.init(jax.random.PRNGKey(0), x, mask)
+    out = np.asarray(layer.apply(params, x, mask))
+    # Valid region nonzero, padded region == last valid hidden state.
+    assert np.abs(out[1, 3:] - out[1, 2:3]).max() < 1e-6
+    # Truncated vs full: prefix outputs identical.
+    out_trunc = np.asarray(layer.apply(params, x[:, :3], mask[:, :3]))
+    np.testing.assert_allclose(out[:, :3], out_trunc, rtol=1e-5, atol=1e-6)
+
+
+def test_bigru_reverse_respects_lengths():
+    """Backward direction must start at t=len-1, not at the padding."""
+    B, T, E, H = 2, 8, 4, 3
+    rng = np.random.default_rng(2)
+    x = jnp.array(rng.normal(size=(B, T, E)), jnp.float32)
+    lengths = jnp.array([8, 5])
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    model = BiGRU(hidden_size=H, num_layers=1)
+    params = model.init(jax.random.PRNGKey(0), x, mask)
+    out = model.apply(params, x, mask)
+    # Sequence 1 truncated to its own length must give identical valid outputs.
+    out_trunc = model.apply(params, x[1:2, :5], mask[1:2, :5])
+    np.testing.assert_allclose(
+        np.asarray(out)[1:2, :5], np.asarray(out_trunc), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_artspeech_output_shape_and_range():
+    model = ArtSpeech(vocab_size=20, n_articulators=10)
+    tokens = jnp.array([[1, 2, 3, 0], [4, 5, 0, 0]])
+    lengths = jnp.array([4, 2])
+    params = model.init(jax.random.PRNGKey(0), tokens, lengths)
+    out = np.asarray(model.apply(params, tokens, lengths))
+    assert out.shape == (2, 4, 10, 2, 50)
+    assert (out >= 0).all() and (out <= 1).all()
+
+
+def test_masked_loss_ignores_padding():
+    rng = np.random.default_rng(3)
+    out = jnp.array(rng.uniform(size=(2, 6, 3, 2, 5)), jnp.float32)
+    tgt = jnp.array(rng.uniform(size=(2, 6, 3, 2, 5)), jnp.float32)
+    lengths = jnp.array([6, 4])
+    base = float(masked_euclidean_loss(out, tgt, lengths))
+    # Corrupt padding region only: loss must not change.
+    tgt2 = np.asarray(tgt).copy()
+    tgt2[1, 4:] = 100.0
+    corrupted = float(masked_euclidean_loss(out, jnp.array(tgt2), lengths))
+    assert abs(base - corrupted) < 1e-6
+
+
+def test_p2cp_mm_identity_is_zero():
+    x = jnp.array(np.random.default_rng(4).uniform(size=(2, 3, 4, 2, 50)), jnp.float32)
+    lengths = jnp.array([3, 2])
+    assert float(p2cp_distance_mm(x, x, lengths, to_mm=220.0)) < 1e-5
+
+
+def test_train_step_overfits_tiny_batch():
+    """Two-sentence overfit: loss must drop by >3x in 60 steps."""
+    vocab, n_art, T, D = 12, 4, 8, 50
+    rng = np.random.default_rng(5)
+    batch = {
+        "tokens": jnp.array(rng.integers(0, vocab, size=(2, T))),
+        "targets": jnp.array(rng.uniform(0.2, 0.8, size=(2, T, n_art, 2, D)), jnp.float32),
+        "lengths": jnp.array([8, 6]),
+    }
+    model = ArtSpeech(vocab_size=vocab, n_articulators=n_art, hidden_size=32, embed_dim=16)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        (batch["tokens"], batch["lengths"]),
+        learning_rate=5e-3,
+    )
+    train_step = make_artspeech_train_step(to_mm=220.0, donate=False)
+    first = None
+    for i in range(60):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first / 3.0, (first, last)
+
+    eval_step = make_artspeech_eval_step(to_mm=220.0)
+    metrics, outputs = eval_step(state, batch)
+    assert outputs.shape == (2, T, n_art, 2, D)
+    assert np.isfinite(float(metrics["p2cp_mm"]))
+
+
+def test_plateau_and_early_stopping():
+    model = SimpleArtSpeech(vocab_size=5, n_articulators=2, hidden_size=8, embed_dim=4)
+    tokens = jnp.zeros((1, 3), jnp.int32)
+    lengths = jnp.array([3])
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (tokens, lengths), learning_rate=1e-3
+    )
+    assert abs(get_learning_rate(state) - 1e-3) < 1e-9
+    state = set_learning_rate(state, 5e-4)
+    assert abs(get_learning_rate(state) - 5e-4) < 1e-9
+
+    sched = PlateauScheduler(factor=0.1, patience=1)
+    state = sched.step(1.0, state)
+    state = sched.step(1.1, state)  # bad 1
+    state = sched.step(1.2, state)  # bad 2 -> reduce
+    assert abs(get_learning_rate(state) - 5e-5) < 1e-9
+
+    es = EarlyStopping(patience=2)
+    assert es.update(1.0)
+    assert not es.update(2.0)
+    assert not es.update(2.0)
+    assert not es.should_stop
+    assert not es.update(2.0)
+    assert es.should_stop
