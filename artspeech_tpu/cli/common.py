@@ -1,0 +1,49 @@
+"""Shared CLI scaffolding: --config YAML + tracker flags.
+
+Mirrors the reference entry-script surface (argparse with --config /
+--mlflow / --experiment / --run_id / --run_name / --checkpoint, e.g.
+train_phoneme_to_articulation.py:387-424) so thesis_config YAMLs drive
+experiments the same way.
+"""
+
+import argparse
+import os
+from typing import Callable, Dict, Optional
+
+import yaml
+
+from artspeech_tpu.utils.tracking import make_tracker
+
+
+def parse_cli(description: str):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", dest="config_filepath", required=True)
+    parser.add_argument("--mlflow", dest="mlflow_tracking_uri", default=None)
+    parser.add_argument("--experiment", dest="experiment_name", default="artspeech_tpu")
+    parser.add_argument("--run_id", dest="run_id", default=None)
+    parser.add_argument("--run_name", dest="run_name", default=None)
+    parser.add_argument("--checkpoint", dest="checkpoint_filepath", default=None)
+    parser.add_argument("--output_dir", dest="output_dir", default="results")
+    args = parser.parse_args()
+
+    with open(args.config_filepath) as f:
+        cfg = yaml.safe_load(f)
+    return args, cfg
+
+
+def run_experiment(description: str, main_fn: Callable):
+    """Parse CLI, build tracker, call ``main_fn(cfg, args, tracker)``."""
+    args, cfg = parse_cli(description)
+    run_dir = os.path.join(args.output_dir, args.run_name or "run")
+    tracker = make_tracker(
+        run_dir,
+        mlflow_uri=args.mlflow_tracking_uri,
+        experiment=args.experiment_name,
+        run_id=args.run_id,
+        run_name=args.run_name,
+    )
+    tracker.log_params(cfg)
+    try:
+        return main_fn(cfg, args, tracker)
+    finally:
+        tracker.end()

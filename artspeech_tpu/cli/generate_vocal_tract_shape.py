@@ -1,0 +1,79 @@
+"""Generate a synthetic articulation corpus from TextGrid phoneme sequences.
+
+Equivalent of reference generate_vocal_tract_shape_v2.py:270-450: pick a
+method (encoder_decoder | mean_contour), run the fused synthesis pipeline and
+write inference_contours / air_column / xarticul / target_sequence.txt per
+sentence — the corpus later consumed by the phoneme-recognition evaluation.
+
+Usage: python -m artspeech_tpu.cli.generate_vocal_tract_shape \
+           --config config.yaml
+"""
+
+import jax
+import jax.numpy as jnp
+
+from artspeech_tpu.cli.common import run_experiment
+from artspeech_tpu.core.config import DATASET_CONFIG
+from artspeech_tpu.core.vocab import load_vocabulary
+from artspeech_tpu.models.artspeech_rnn import ArtSpeech
+from artspeech_tpu.models.mean_contour import (
+    MeanContourTable,
+    make_mean_contour_forward,
+)
+from artspeech_tpu.synth.pipeline import SynthesisDataset, synthesize_corpus
+from artspeech_tpu.train.checkpoint import load_params
+from artspeech_tpu.utils.io import sequences_from_dict
+
+
+def build_forward(cfg, vocabulary, articulators):
+    method = cfg.get("method", "encoder_decoder")
+    if method == "encoder_decoder":
+        model = ArtSpeech(
+            vocab_size=len(vocabulary),
+            n_articulators=len(articulators),
+            **(cfg.get("model_params") or {}),
+        )
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8), jnp.int32),
+            jnp.full((1,), 8, jnp.int32),
+        )["params"]
+        params = load_params(cfg["state_dict_filepath"], template)
+
+        def forward(tokens, lengths):
+            return model.apply({"params": params}, tokens, lengths)
+
+        return forward
+    if method == "mean_contour":
+        table = MeanContourTable.load(cfg["state_dict_filepath"])
+        return make_mean_contour_forward(table)
+    raise ValueError(f"Unknown synthesis method: {method}")
+
+
+def main(cfg, args, tracker):
+    database_name = cfg["database_name"]
+    vocabulary = load_vocabulary(cfg["vocab_filepath"])
+    articulators = sorted(cfg["articulators"])
+
+    dataset = SynthesisDataset(
+        cfg["datadir"],
+        database_name,
+        sequences_from_dict(cfg["datadir"], cfg["seq_dict"]),
+        vocabulary,
+        articulators,
+    )
+    forward = build_forward(cfg, vocabulary, articulators)
+    written = synthesize_corpus(
+        forward,
+        dataset,
+        cfg["save_to"],
+        DATASET_CONFIG[database_name],
+        regularize_outputs=cfg.get("regularize_outputs", True),
+        batch_size=cfg.get("batch_size", 8),
+    )
+    print(f"Synthesized {len(written)} sentences -> {cfg['save_to']}")
+    return written
+
+
+if __name__ == "__main__":
+    run_experiment("Generate vocal tract shapes", main)

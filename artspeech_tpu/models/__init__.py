@@ -1,2 +1,8 @@
 from artspeech_tpu.models.artspeech_rnn import ArtSpeech, SimpleArtSpeech
 from artspeech_tpu.models.heads import ArticulatorPredictor, ContourDecoder
+from artspeech_tpu.models.mean_contour import (
+    MeanContourTable,
+    fit_mean_contour,
+    make_mean_contour_forward,
+    relative_positions,
+)

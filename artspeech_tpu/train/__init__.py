@@ -18,3 +18,9 @@ from artspeech_tpu.train.step import (
     make_artspeech_eval_step,
     make_artspeech_train_step,
 )
+from artspeech_tpu.train.loop import (
+    FitResult,
+    fit,
+    run_eval_epoch,
+    run_train_epoch,
+)

@@ -1,0 +1,146 @@
+"""Unified training orchestration for articulation models.
+
+Host-side scaffold equivalent to reference train_phoneme_to_articulation.py:
+124-426 (epoch loop, ReduceLROnPlateau, early stopping on valid P2CP-mm,
+best/last checkpointing, metric logging), around the jitted steps in
+artspeech_tpu.train.step. The jitted step is compiled once per bucket
+signature; LR changes mutate optimizer hyperparams without recompiling.
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from artspeech_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from artspeech_tpu.train.state import (
+    EarlyStopping,
+    PlateauScheduler,
+    TrainState,
+    get_learning_rate,
+)
+
+
+def run_train_epoch(state, loader, train_step, rng) -> (object, Dict[str, float]):
+    """One training epoch; returns (state, mean metrics)."""
+    sums, count = {}, 0
+    for i, (batch, _meta) in enumerate(loader):
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, batch, step_rng)
+        count += 1
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + metrics[k]
+    means = {k: float(v) / max(count, 1) for k, v in jax.device_get(sums).items()}
+    return state, means
+
+
+def run_eval_epoch(state, loader, eval_step) -> Dict[str, float]:
+    sums, count = {}, 0
+    for batch, _meta in loader:
+        metrics, _ = eval_step(state, batch)
+        count += 1
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + v
+    return {k: float(v) / max(count, 1) for k, v in jax.device_get(sums).items()}
+
+
+@dataclass
+class FitResult:
+    state: object
+    best_metric: float
+    best_params_dir: str
+    last_epoch: int
+    history: list = field(default_factory=list)
+
+
+def fit(
+    state,
+    train_loader,
+    valid_loader,
+    train_step: Callable,
+    eval_step: Callable,
+    n_epochs: int,
+    checkpoints_dir: str,
+    monitor: str = "p2cp_mm",
+    patience: int = 30,
+    scheduler: Optional[PlateauScheduler] = None,
+    tracker=None,
+    seed: int = 0,
+    resume: bool = False,
+    epoch_callback: Optional[Callable] = None,
+) -> FitResult:
+    """Full training run with plateau LR, early stopping and checkpoints.
+
+    Layout under ``checkpoints_dir``: best/ (state at best valid metric),
+    last/ (rolling resume checkpoint + aux.json scheduler state).
+    """
+    os.makedirs(checkpoints_dir, exist_ok=True)
+    best_dir = os.path.join(checkpoints_dir, "best")
+    last_dir = os.path.join(checkpoints_dir, "last")
+    scheduler = scheduler or PlateauScheduler()
+    stopper = EarlyStopping(patience=patience)
+    start_epoch = 0
+
+    if resume and os.path.isdir(os.path.join(last_dir, "state")):
+        state, aux = restore_checkpoint(last_dir, state)
+        if aux:
+            start_epoch = int(aux.get("epoch", -1)) + 1
+            stopper.best_metric = float(aux.get("best_metric", float("inf")))
+            stopper.epochs_since_best = int(aux.get("epochs_since_best", 0))
+            scheduler.best = float(aux.get("scheduler_best", float("inf")))
+            scheduler.bad_epochs = int(aux.get("scheduler_bad_epochs", 0))
+
+    rng = jax.random.PRNGKey(seed)
+    history = []
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, n_epochs):
+        rng, epoch_rng = jax.random.split(rng)
+        state, train_metrics = run_train_epoch(
+            state, train_loader, train_step, epoch_rng
+        )
+        valid_metrics = run_eval_epoch(state, valid_loader, eval_step)
+        monitored = valid_metrics[monitor]
+
+        state = scheduler.step(valid_metrics.get("loss", monitored), state)
+        is_best = stopper.update(monitored)
+
+        record = {
+            "epoch": epoch,
+            "lr": get_learning_rate(state),
+            **{f"train_{k}": v for k, v in train_metrics.items()},
+            **{f"valid_{k}": v for k, v in valid_metrics.items()},
+            "best": is_best,
+        }
+        history.append(record)
+        if tracker is not None:
+            tracker.log_metrics(
+                {k: v for k, v in record.items() if k != "best"}, step=epoch
+            )
+
+        if is_best:
+            save_checkpoint(best_dir, state, aux={"epoch": epoch, monitor: monitored})
+        save_checkpoint(
+            last_dir,
+            state,
+            aux={
+                "epoch": epoch,
+                "best_metric": stopper.best_metric,
+                "epochs_since_best": stopper.epochs_since_best,
+                "scheduler_best": scheduler.best,
+                "scheduler_bad_epochs": scheduler.bad_epochs,
+            },
+        )
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, record)
+        if stopper.should_stop:
+            break
+
+    return FitResult(
+        state=state,
+        best_metric=stopper.best_metric,
+        best_params_dir=best_dir,
+        last_epoch=epoch,
+        history=history,
+    )
