@@ -94,3 +94,19 @@ PHONETIC_CLASSES = {
     5: ["a", "a~"],
     6: ["y", "2", "9", "H"],
 }
+
+#: The 10 articulators fed to the recognizer's vocal-tract feature
+#: (reference phoneme_recognition/datasets.py:33-44 — TUBE_ARTICULATORS
+#: minus the upper incisor, which is the coordinate-system reference).
+RECOGNITION_ARTICULATORS = [
+    ARYTENOID_CARTILAGE,
+    EPIGLOTTIS,
+    LOWER_INCISOR,
+    LOWER_LIP,
+    PHARYNX,
+    SOFT_PALATE_MIDLINE,
+    THYROID_CARTILAGE,
+    TONGUE,
+    UPPER_LIP,
+    VOCAL_FOLDS,
+]

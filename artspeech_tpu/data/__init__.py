@@ -15,3 +15,8 @@ from artspeech_tpu.data.loaders import (
 from artspeech_tpu.data.tail_clipper import TailClipper
 from artspeech_tpu.data.textgrid import TextGrid, read_textgrid, write_textgrid
 from artspeech_tpu.data.transforms import Normalize, load_articulator_norm_stats
+from artspeech_tpu.data.recognition import (
+    PhonemeRecognitionDataset,
+    RecognitionLoader,
+    SyntheticPhonemeRecognitionDataset,
+)

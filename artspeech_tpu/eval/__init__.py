@@ -9,3 +9,15 @@ from artspeech_tpu.eval.artifacts import (
     save_tract_variables_csv,
     tvs_to_records,
 )
+from artspeech_tpu.eval.decoders import (
+    beam_ctc_decode,
+    decode_to_strings,
+    greedy_ctc_decode,
+)
+from artspeech_tpu.eval.recognition import run_recognition_test
+from artspeech_tpu.eval.recognition_metrics import (
+    edit_distance,
+    substitution_matrix,
+    word_error_rate,
+    word_information_lost,
+)

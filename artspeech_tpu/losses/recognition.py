@@ -1,0 +1,82 @@
+"""Recognition losses: CTC and padded cross-entropy.
+
+Equivalents of reference phoneme_recognition/metrics.py:87-121
+(``CrossEntropyLoss`` with per-class weights over pad-masked flattened
+frames) and ``nn.CTCLoss(zero_infinity=True)`` as used in
+train_phoneme_recognition.py:96-101 — expressed as pure jit-safe functions
+(optax.ctc_loss for the CTC forward-backward; masking instead of flattening
++ boolean indexing, which would be shape-dynamic under jit).
+"""
+
+import json
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from artspeech_tpu.utils.masks import make_padding_mask
+
+
+def ctc_loss(log_probs, targets, input_lengths, target_lengths, blank_id: int = 0):
+    """Mean CTC loss over the batch.
+
+    Args:
+        log_probs: (B, T, K) log probabilities.
+        targets: (B, N) label ids (padding value irrelevant, masked below).
+        input_lengths: (B,); target_lengths: (B,).
+    ``zero_infinity=True`` semantics: sentences whose loss is non-finite
+    (target longer than input) contribute 0.
+    """
+    t = log_probs.shape[1]
+    n = targets.shape[1]
+    logit_paddings = 1.0 - make_padding_mask(input_lengths, t).astype(log_probs.dtype)
+    label_paddings = 1.0 - make_padding_mask(target_lengths, n).astype(log_probs.dtype)
+    per_seq = optax.ctc_loss(
+        log_probs,
+        logit_paddings,
+        jnp.maximum(targets, 0),
+        label_paddings,
+        blank_id=blank_id,
+    )
+    # Match torch's default reduction="mean": per-sequence loss divided by
+    # target length, then batch-averaged; zero_infinity guards the rest.
+    per_seq = per_seq / jnp.maximum(target_lengths.astype(per_seq.dtype), 1.0)
+    finite = jnp.isfinite(per_seq)
+    per_seq = jnp.where(finite, per_seq, 0.0)
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(finite.astype(per_seq.dtype)), 1.0)
+
+
+def load_class_weights(filepath: str, num_classes: int) -> jnp.ndarray:
+    """Reference metrics.py:94-105: weights JSON {token: w} sorted by token,
+    prepended with 1.0 for the unknown class; remaining classes weight 1."""
+    with open(filepath) as f:
+        class_weights = json.load(f)
+    ordered = [1.0] + [w for _, w in sorted(class_weights.items())]
+    weights = jnp.ones((num_classes,), jnp.float32)
+    return weights.at[: len(ordered)].set(jnp.asarray(ordered, jnp.float32))
+
+
+def cross_entropy_loss(
+    logits,
+    targets,
+    input_lengths,
+    target_lengths=None,
+    class_weights: Optional[jnp.ndarray] = None,
+):
+    """Pad-masked frame-level CE (frame-aligned targets, same T as inputs).
+
+    Args:
+        logits: (B, T, K) UNnormalized logits.
+        targets: (B, T) int ids (padding masked via input_lengths).
+    """
+    t = logits.shape[1]
+    mask = make_padding_mask(input_lengths, t).astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = jnp.maximum(targets, 0)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # (B, T)
+    if class_weights is not None:
+        w = class_weights[tgt] * mask
+    else:
+        w = mask
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -6,3 +6,9 @@ from artspeech_tpu.models.mean_contour import (
     make_mean_contour_forward,
     relative_positions,
 )
+from artspeech_tpu.models.deepspeech2 import (
+    Adapter,
+    DeepSpeech2,
+    get_noise_logits,
+    get_normalized_outputs,
+)

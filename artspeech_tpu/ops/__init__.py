@@ -12,3 +12,8 @@ from artspeech_tpu.ops.resample import (
     resample_linear_np,
     resample_nearest_np,
 )
+from artspeech_tpu.ops.melspec import (
+    dynamic_range_compression,
+    mel_filterbank,
+    melspectrogram,
+)

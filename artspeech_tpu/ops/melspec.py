@@ -1,0 +1,108 @@
+"""Mel spectrogram as a jittable XLA program.
+
+Equivalent of ``torchaudio.transforms.MelSpectrogram`` as configured by the
+reference recognizer dataset (phoneme_recognition/datasets.py:84-92:
+sample_rate 16k, n_fft=win_length=1024, hop 256, 80 mels, power 2, HTK mel
+scale, no filterbank norm, center-padded reflect STFT) plus the log
+compression ``dynamic_range_compression`` (datasets.py:47-48).
+
+TPU-first: the STFT is a framed matmul against a real-DFT basis — batched
+frames hit the MXU — rather than an FFT call (jnp.fft works on TPU but
+lowers to a slower composite for real inputs at this size; a (F, N) matmul
+with F=513, N=1024 is tiny and fuses with the mel projection).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def hz_to_mel(f):
+    """HTK mel scale (torchaudio default mel_scale="htk")."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_mels: int,
+    n_freqs: int,
+    sample_rate: int,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+) -> np.ndarray:
+    """Triangular mel filterbank (n_freqs, n_mels), HTK scale, no norm."""
+    f_max = f_max or sample_rate / 2.0
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    m_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = np.diff(f_pts)
+    slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def dft_basis(n_fft: int) -> np.ndarray:
+    """Real-DFT basis stacked [cos; -sin]: (2 * (n_fft//2 + 1), n_fft)."""
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=0).astype(np.float32)
+
+
+def frame_signal(audio, n_fft: int, hop_length: int, center: bool = True):
+    """(..., S) -> (..., T, n_fft) frames with reflect center padding."""
+    if center:
+        pad = [(0, 0)] * (audio.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        audio = jnp.pad(audio, pad, mode="reflect")
+    n = audio.shape[-1]
+    n_frames = 1 + (n - n_fft) // hop_length
+    starts = jnp.arange(n_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    return audio[..., idx]
+
+
+def melspectrogram(
+    audio,
+    sample_rate: int = 16000,
+    n_fft: int = 1024,
+    win_length: Optional[int] = None,
+    hop_length: int = 256,
+    n_mels: int = 80,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+    power: float = 2.0,
+):
+    """Mel spectrogram of (..., S) audio -> (..., n_mels, T).
+
+    Matches torchaudio MelSpectrogram defaults (hann window, center reflect,
+    HTK mel, norm None).
+    """
+    win_length = win_length or n_fft
+    window = jnp.asarray(np.hanning(win_length + 1)[:-1].astype(np.float32))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    frames = frame_signal(audio, n_fft, hop_length) * window  # (..., T, N)
+    basis = jnp.asarray(dft_basis(n_fft))  # (2F, N)
+    spec = jnp.einsum("...tn,fn->...tf", frames, basis)
+    n_freqs = n_fft // 2 + 1
+    real, imag = spec[..., :n_freqs], spec[..., n_freqs:]
+    mag = real * real + imag * imag
+    if power != 2.0:
+        mag = jnp.power(jnp.maximum(mag, 1e-30), power / 2.0)
+    fb = jnp.asarray(mel_filterbank(n_mels, n_freqs, sample_rate, f_min, f_max))
+    mel = jnp.einsum("...tf,fm->...tm", mag, fb)
+    return jnp.swapaxes(mel, -1, -2)  # (..., n_mels, T)
+
+
+def dynamic_range_compression(x, C: float = 1.0, clip_val: float = 1e-5):
+    """log(clamp(x, min=clip_val) * C) — reference datasets.py:47-48."""
+    return jnp.log(jnp.maximum(x, clip_val) * C)

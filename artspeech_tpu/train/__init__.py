@@ -24,3 +24,8 @@ from artspeech_tpu.train.loop import (
     run_eval_epoch,
     run_train_epoch,
 )
+from artspeech_tpu.train.recognition_step import (
+    cyclic_triangular_schedule,
+    make_recognition_eval_step,
+    make_recognition_train_step,
+)

@@ -1,0 +1,331 @@
+"""Recognition subsystem tests: melspec parity vs torchaudio, DeepSpeech2
+shapes/grads, CTC loss vs torch, greedy decode, PER/WIL, substitution
+matrices, and a train->eval smoke over the synthetic corpus."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------- melspec ----------
+
+
+def test_melspec_matches_torchaudio():
+    torch = pytest.importorskip("torch")
+    torchaudio = pytest.importorskip("torchaudio")
+    from artspeech_tpu.ops.melspec import dynamic_range_compression, melspectrogram
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=16000).astype(np.float32) * 0.1
+
+    ref = torchaudio.transforms.MelSpectrogram(
+        sample_rate=16000, n_fft=1024, win_length=1024, hop_length=256, n_mels=80
+    )(torch.from_numpy(audio))
+    ours = melspectrogram(jnp.asarray(audio))
+    assert ours.shape == tuple(ref.shape)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+    # log compression parity (reference datasets.py:47-48)
+    ref_log = torch.log(torch.clamp(ref, min=1e-5))
+    ours_log = dynamic_range_compression(ours)
+    np.testing.assert_allclose(np.asarray(ours_log), ref_log.numpy(), rtol=1e-3, atol=1e-3)
+
+
+# ---------- DeepSpeech2 ----------
+
+
+def test_deepspeech2_forward_and_grad():
+    from artspeech_tpu.models.deepspeech2 import DeepSpeech2
+
+    model = DeepSpeech2(
+        in_channels=2,
+        num_residual_layers=2,
+        num_rnn_layers=2,
+        rnn_hidden_size=32,
+        num_classes=12,
+        num_features=40,
+    )
+    x = jnp.ones((2, 2, 40, 16))
+    voicing = jnp.zeros((2, 16))
+    lengths = jnp.array([16, 9], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, voicing=voicing, lengths=lengths)[
+        "params"
+    ]
+    logits, feats = model.apply(
+        {"params": params}, x, voicing=voicing, lengths=lengths, return_features=True
+    )
+    assert logits.shape == (2, 16, 12)
+    assert feats.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x, lengths=lengths) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(
+        np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads)
+    )
+
+
+def test_deepspeech2_adapter():
+    from artspeech_tpu.models.deepspeech2 import DeepSpeech2
+
+    model = DeepSpeech2(
+        in_channels=2,
+        num_residual_layers=1,
+        num_rnn_layers=1,
+        rnn_hidden_size=16,
+        num_classes=5,
+        num_features=500,
+        adapter_out_features=80,
+    )
+    x = jnp.ones((1, 2, 500, 8))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 8, 5)
+
+
+# ---------- CTC loss ----------
+
+
+def test_ctc_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+    from artspeech_tpu.losses.recognition import ctc_loss
+
+    rng = np.random.default_rng(0)
+    B, T, K, N = 3, 12, 7, 5
+    logits = rng.normal(size=(B, T, K)).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    targets = rng.integers(1, K, size=(B, N)).astype(np.int32)
+    input_lengths = np.array([12, 10, 8], np.int32)
+    target_lengths = np.array([5, 3, 2], np.int32)
+
+    ours = float(
+        ctc_loss(
+            log_probs,
+            jnp.asarray(targets),
+            jnp.asarray(input_lengths),
+            jnp.asarray(target_lengths),
+        )
+    )
+    t_logp = torch.from_numpy(np.asarray(log_probs)).permute(1, 0, 2)
+    ref = torch.nn.CTCLoss(blank=0, zero_infinity=True)(
+        t_logp,
+        torch.from_numpy(targets.astype(np.int64)),
+        torch.from_numpy(input_lengths.astype(np.int64)),
+        torch.from_numpy(target_lengths.astype(np.int64)),
+    )
+    assert ours == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_cross_entropy_loss_masked():
+    from artspeech_tpu.losses.recognition import cross_entropy_loss
+
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 4)), jnp.float32)
+    targets = jnp.asarray([[1, 2, 3, 0, 0, 0], [2, 1, -1, -1, -1, -1]], jnp.int32)
+    lengths = jnp.asarray([3, 2], jnp.int32)
+    loss = float(cross_entropy_loss(logits, targets, lengths))
+    # hand computation
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    expected = -(
+        lp[0, 0, 1] + lp[0, 1, 2] + lp[0, 2, 3] + lp[1, 0, 2] + lp[1, 1, 1]
+    ) / 5.0
+    assert loss == pytest.approx(float(expected), rel=1e-5)
+
+
+# ---------- decoders ----------
+
+
+def test_greedy_ctc_decode():
+    from artspeech_tpu.eval.decoders import greedy_ctc_decode
+
+    # classes: 0=blank; emissions force path [1,1,0,2,2,3,0,0]
+    path = [1, 1, 0, 2, 2, 3, 0, 0]
+    K = 5
+    em = np.full((1, len(path), K), -10.0, np.float32)
+    for t, k in enumerate(path):
+        em[0, t, k] = 0.0
+    tokens, lengths = greedy_ctc_decode(
+        jnp.asarray(em), jnp.asarray([len(path)], jnp.int32)
+    )
+    assert list(np.asarray(tokens)[0, : int(lengths[0])]) == [1, 2, 3]
+    # length masking: cut at t=2 -> only [1]
+    tokens2, lengths2 = greedy_ctc_decode(jnp.asarray(em), jnp.asarray([2], jnp.int32))
+    assert list(np.asarray(tokens2)[0, : int(lengths2[0])]) == [1]
+
+
+def test_beam_ctc_decode_agrees_with_greedy_on_peaky():
+    from artspeech_tpu.eval.decoders import beam_ctc_decode, greedy_ctc_decode
+
+    path = [0, 3, 3, 0, 1, 2, 2, 0]
+    K = 4
+    em = np.full((1, len(path), K), -12.0, np.float32)
+    for t, k in enumerate(path):
+        em[0, t, k] = 0.0
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(em), axis=-1))
+    beam = beam_ctc_decode(logp, np.array([len(path)]), beam_width=8)
+    tokens, lengths = greedy_ctc_decode(jnp.asarray(em), jnp.asarray([len(path)], jnp.int32))
+    greedy = list(np.asarray(tokens)[0, : int(lengths[0])])
+    assert beam[0] == greedy == [3, 1, 2]
+
+
+# ---------- metrics ----------
+
+
+def test_word_error_rate_and_wil():
+    from artspeech_tpu.eval.recognition_metrics import (
+        word_error_rate,
+        word_information_lost,
+    )
+
+    assert word_error_rate(["a b c"], ["a b c"]) == 0.0
+    assert word_error_rate(["a x c"], ["a b c"]) == pytest.approx(1 / 3)
+    assert word_error_rate(["b c"], ["a b c"]) == pytest.approx(1 / 3)
+    # WIL: perfect -> 0
+    assert word_information_lost(["a b c"], ["a b c"]) == pytest.approx(0.0)
+    # one substitution: hits=2, N=3, P=3 -> 1 - (2/3)*(2/3)
+    assert word_information_lost(["a x c"], ["a b c"]) == pytest.approx(1 - 4 / 9)
+
+
+def test_compute_transitions_reference_doctest():
+    """Reference metrics.py:300-304 doctest expectations."""
+    from artspeech_tpu.eval.recognition_metrics import compute_transitions
+
+    targets = ["a b c", "a b c", "a b c", "a b d e a"]
+    preds = ["a b c", "b c", "a b c d", "c b d e"]
+    trans = compute_transitions(preds, targets)
+    # (deletions, insertions, substitutions) — matches are not included in
+    # the reference contract's substitution list; ours separates them.
+    dels0, ins0, subs0 = trans[0]
+    assert (dels0, ins0, subs0) == ([], [], [])
+    dels1, ins1, subs1 = trans[1]
+    assert dels1 == [0] and ins1 == [] and subs1 == []
+    dels2, ins2, subs2 = trans[2]
+    assert dels2 == [] and ins2 == [3] and subs2 == []
+    dels3, ins3, subs3 = trans[3]
+    assert dels3 == [4] and ins3 == []
+
+
+def test_substitution_matrix():
+    from artspeech_tpu.eval.recognition_metrics import substitution_matrix
+
+    vocab = ["a", "b", "c"]
+    cm = substitution_matrix(["a c"], ["a b"], vocab, insertions_and_deletions="both")
+    assert cm[0, 0] == 1  # a -> a match
+    assert cm[1, 2] == 1  # b -> c substitution
+    cm2 = substitution_matrix(["a"], ["a b"], vocab, insertions_and_deletions="both")
+    assert cm2[1, -1] == 1  # deletion of b
+    cm3 = substitution_matrix(["a b"], ["a"], vocab, insertions_and_deletions="both")
+    assert cm3[-1, 1] == 1  # insertion of b
+
+
+# ---------- train/eval smoke ----------
+
+
+def test_recognition_train_eval_smoke(tmp_path):
+    from artspeech_tpu.core.vocab import build_vocabulary
+    from artspeech_tpu.data.recognition import (
+        TARGET_CTC,
+        collate_recognition_batch,
+    )
+    from artspeech_tpu.eval.recognition import run_recognition_test
+    from artspeech_tpu.models.deepspeech2 import DeepSpeech2
+    from artspeech_tpu.train.recognition_step import (
+        make_recognition_eval_step,
+        make_recognition_train_step,
+    )
+    from artspeech_tpu.train.state import TrainState
+    import optax
+
+    vocab = build_vocabulary(["a", "b", "#"])
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(4):
+        T = 12 + i
+        feat = rng.normal(size=(2, 20, T)).astype(np.float32)
+        toks = np.array([2 + (i % 2), 3], np.int32)
+        items.append(
+            {
+                "sentence_name": f"s{i}",
+                "vocal_tract": feat,
+                "vocal_tract_length": T,
+                TARGET_CTC: toks,
+                f"{TARGET_CTC}_length": 2,
+                "voicing": np.zeros(T, np.float32),
+            }
+        )
+    batch, meta = collate_recognition_batch(items, "vocal_tract", 16, 4)
+    assert batch["features"].shape == (4, 2, 20, 16)
+
+    model = DeepSpeech2(
+        in_channels=2,
+        num_residual_layers=1,
+        num_rnn_layers=1,
+        rnn_hidden_size=16,
+        num_classes=len(vocab),
+        num_features=20,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["features"]),
+        lengths=jnp.asarray(batch["input_lengths"]),
+    )["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(1e-3)
+    )
+    train_step = make_recognition_train_step(
+        model, "ctc", TARGET_CTC, feature="vocal_tract", logits_large_margins=5e-4,
+        donate=False,
+    )
+    losses = []
+    for i in range(5):
+        state, m = train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    eval_step = make_recognition_eval_step(
+        model, "ctc", TARGET_CTC, feature="vocal_tract", return_features=True
+    )
+    loader = [(batch, meta)]
+    info = run_recognition_test(
+        state,
+        eval_step,
+        loader,
+        TARGET_CTC,
+        vocab,
+        outputs_dir=str(tmp_path / "rec_outputs"),
+        collect_features=True,
+    )
+    assert np.isfinite(info["loss"])
+    assert 0.0 <= info["edit_distance"]
+    assert (tmp_path / "rec_outputs" / "substitution_matrix.npy").exists()
+    assert (tmp_path / "rec_outputs" / "test_results.json").exists()
+
+
+def test_melspec_matches_numpy_fft():
+    """Golden check against a straightforward numpy STFT implementation."""
+    from artspeech_tpu.ops.melspec import (
+        frame_signal,
+        mel_filterbank,
+        melspectrogram,
+    )
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=8000).astype(np.float32) * 0.1
+    n_fft, hop, n_mels, sr = 1024, 256, 80, 16000
+
+    padded = np.pad(audio, (n_fft // 2, n_fft // 2), mode="reflect")
+    window = np.hanning(n_fft + 1)[:-1]
+    n_frames = 1 + (len(padded) - n_fft) // hop
+    spec = np.empty((n_frames, n_fft // 2 + 1))
+    for t in range(n_frames):
+        frame = padded[t * hop : t * hop + n_fft] * window
+        spec[t] = np.abs(np.fft.rfft(frame)) ** 2
+    fb = mel_filterbank(n_mels, n_fft // 2 + 1, sr)
+    expected = (spec @ fb).T  # (n_mels, T)
+
+    ours = np.asarray(melspectrogram(jnp.asarray(audio)))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-4)
