@@ -20,3 +20,10 @@ from artspeech_tpu.data.recognition import (
     RecognitionLoader,
     SyntheticPhonemeRecognitionDataset,
 )
+from artspeech_tpu.data.pc_datasets import (
+    AutoencoderDataset,
+    PrincipalComponentsDataset,
+    compute_normalization_statistics,
+    load_norm_stats,
+    stack_norm_stats,
+)

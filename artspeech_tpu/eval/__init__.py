@@ -21,3 +21,8 @@ from artspeech_tpu.eval.recognition_metrics import (
     word_error_rate,
     word_information_lost,
 )
+from artspeech_tpu.eval.autoencoder import (
+    nomograms,
+    run_autoencoder_test,
+    run_latent_rnn_test,
+)

@@ -9,3 +9,10 @@ from artspeech_tpu.losses.recognition import (
     ctc_loss,
     load_class_weights,
 )
+from artspeech_tpu.losses.autoencoder import (
+    critical_loss,
+    decoder_mean_p2cp_mm,
+    make_autoencoder_loss,
+    offdiag_cov_penalty,
+    regularized_latents_mse_loss,
+)

@@ -12,3 +12,19 @@ from artspeech_tpu.models.deepspeech2 import (
     get_noise_logits,
     get_normalized_outputs,
 )
+from artspeech_tpu.models.autoencoder import (
+    Decoder,
+    Encoder,
+    MultiArticulatorAutoencoder,
+    MultiDecoder,
+    MultiEncoder,
+    PCADecoder,
+    PCAEncoder,
+    latent_size_of,
+    normalize_indices_dict,
+)
+from artspeech_tpu.models.latent_rnn import (
+    PrincipalComponentsArtSpeech,
+    PrincipalComponentsPredictor,
+    make_latent_rnn_synthesis_forward,
+)

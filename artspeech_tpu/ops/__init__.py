@@ -17,3 +17,4 @@ from artspeech_tpu.ops.melspec import (
     mel_filterbank,
     melspectrogram,
 )
+from artspeech_tpu.ops.pca import explained_variance_ratio, fit_pca

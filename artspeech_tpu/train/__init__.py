@@ -29,3 +29,10 @@ from artspeech_tpu.train.recognition_step import (
     make_recognition_eval_step,
     make_recognition_train_step,
 )
+from artspeech_tpu.train.pc_step import (
+    make_autoencoder_eval_step,
+    make_autoencoder_train_step,
+    make_latent_rnn_eval_step,
+    make_latent_rnn_train_step,
+    reconstruction_p2cp_mm,
+)
