@@ -28,3 +28,10 @@ from artspeech_tpu.models.latent_rnn import (
     PrincipalComponentsPredictor,
     make_latent_rnn_synthesis_forward,
 )
+from artspeech_tpu.models.transformer import (
+    ArtSpeechTransformer,
+    ChannelInteractionsLayer,
+    ChannelProcessingLayer,
+    MultiChannelDecoderLayer,
+    PositionalEncoding,
+)

@@ -1,0 +1,347 @@
+"""Multi-channel transformer for phoneme-to-articulation (method D).
+
+Equivalent of reference phoneme_to_articulation/transformer/models.py:9-474
+(``PositionalEncoding``, ``ChannelProcessingLayer``, ``ChannelInteractionsLayer``,
+``MultiChannelTransformerDecoderLayer``, ``ArtSpeechTransformer``), redesigned
+TPU-first:
+
+- the per-channel / per-channel-pair ``nn.ModuleList`` loops become ``nn.vmap``
+  lifts with stacked parameters on a leading channel axis — one batched
+  attention instead of Nart (and Nart*(Nart-1)) sequential MHA calls, and the
+  natural tensor-parallel sharding axis;
+- autoregressive ``generate`` is a ``lax.scan`` over a fixed-length target
+  buffer with a causal mask (static shapes, no Python loop, no NaN filtering —
+  the reference's generate loop re-decodes a growing sequence per step,
+  transformer/models.py:391-427);
+- masks are built in-graph from lengths instead of collate-time -inf tensors.
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from artspeech_tpu.models.heads import ArticulatorPredictor
+from artspeech_tpu.utils.masks import make_padding_mask
+
+
+def sinusoidal_positions(max_len: int, dim: int) -> jnp.ndarray:
+    """(max_len, dim) sinusoidal table (reference models.py:9-34)."""
+    position = jnp.arange(max_len)[:, None].astype(jnp.float32)
+    div = jnp.exp(jnp.arange(0, dim, 2).astype(jnp.float32) * (-math.log(10000.0) / dim))
+    pe = jnp.zeros((max_len, dim))
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    dropout: float = 0.0
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        t, d = x.shape[-2], x.shape[-1]
+        x = x + sinusoidal_positions(self.max_len, d)[:t]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class ChannelProcessingLayer(nn.Module):
+    """LN -> Q/K/V MLPs -> MHA -> query residual (reference models.py:37-100).
+
+    The reference applies the SAME LayerNorm to src and tgt; kept here.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, src, tgt, mask=None, deterministic: bool = True):
+        """
+        Args:
+            src: (..., S, E) keys/values source.
+            tgt: (..., L, E) queries source.
+            mask: broadcastable to (..., num_heads, L, S) boolean, True=keep.
+        """
+        ln = nn.LayerNorm()
+        src = ln(src)
+        tgt = ln(tgt)
+        query = nn.relu(nn.Dense(self.embed_dim)(tgt))
+        key = nn.relu(nn.Dense(self.embed_dim)(src))
+        value = nn.relu(nn.Dense(self.embed_dim)(src))
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+        )(query, key, value, mask=mask)
+        return query + out
+
+
+class ChannelInteractionsLayer(nn.Module):
+    """Each channel cross-attends every OTHER channel, concat + linear
+    (reference models.py:103-162), with the per-target-channel layers
+    vmapped over a stacked (Nother,) parameter axis."""
+
+    embed_dim: int
+    num_heads: int
+    num_tgt_channels: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, src_channel, tgt_channels, mask=None, deterministic=True):
+        """
+        Args:
+            src_channel: (B, L, E); tgt_channels: (B, Nother, L, E).
+        """
+        drop = nn.Dropout(self.dropout)
+        src = drop(src_channel, deterministic=deterministic)
+        tgts = drop(tgt_channels, deterministic=deterministic)
+
+        # deterministic passed POSITIONALLY: nn.vmap drops kwargs silently.
+        vmapped = nn.vmap(
+            ChannelProcessingLayer,
+            in_axes=(None, 1, None, None),
+            out_axes=1,
+            axis_size=self.num_tgt_channels,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(self.embed_dim, self.num_heads, self.dropout)
+        outs = vmapped(src, tgts, mask, deterministic)
+        # (B, Nother, L, E) -> concat channels (B, L, Nother * E)
+        b, n, l, e = outs.shape
+        concat = jnp.swapaxes(outs, 1, 2).reshape(b, l, n * e)
+        concat = drop(concat, deterministic=deterministic)
+        h = nn.LayerNorm()(concat)
+        return nn.relu(nn.Dense(self.embed_dim)(h))
+
+
+class MultiChannelDecoderLayer(nn.Module):
+    """Self per channel -> cross-channel -> cross-memory -> FF
+    (reference models.py:165-277). All per-channel layers are vmapped."""
+
+    embed_dim: int
+    num_heads: int
+    num_channels: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,  # (B, C, L, E)
+        memory,  # (B, S, E)
+        tgt_mask=None,  # (B, 1, L, L) bool
+        memory_mask=None,  # (B, 1, L, S) bool
+        deterministic: bool = True,
+    ):
+        drop = nn.Dropout(self.dropout)
+        c = self.num_channels
+
+        # 1. per-channel causal self attention
+        self_vmapped = nn.vmap(
+            ChannelProcessingLayer,
+            in_axes=(1, 1, None, None),
+            out_axes=1,
+            axis_size=c,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(self.embed_dim, self.num_heads, self.dropout)
+        tgt_d = drop(tgt, deterministic=deterministic)
+        proc = self_vmapped(tgt_d, tgt_d, tgt_mask, deterministic)
+
+        # 2. cross-channel interactions, vmapped over the source channel.
+        # For channel i the "others" are proc without row i: build via a
+        # static gather index (C, C-1).
+        others_idx = jnp.asarray(
+            [[j for j in range(c) if j != i] for i in range(c)]
+        )  # (C, C-1)
+        others = proc[:, others_idx]  # (B, C, C-1, L, E)
+        inter_vmapped = nn.vmap(
+            ChannelInteractionsLayer,
+            in_axes=(1, 1, None, None),
+            out_axes=1,
+            axis_size=c,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(self.embed_dim, self.num_heads, c - 1, self.dropout)
+        proc_d = drop(proc, deterministic=deterministic)
+        others_d = drop(others, deterministic=deterministic)
+        inter = inter_vmapped(proc_d, others_d, tgt_mask, deterministic)
+
+        # 3. cross attention to encoder memory, per channel
+        mem_vmapped = nn.vmap(
+            ChannelProcessingLayer,
+            in_axes=(None, 1, None, None),
+            out_axes=1,
+            axis_size=c,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(self.embed_dim, self.num_heads, self.dropout)
+        mem_d = drop(memory, deterministic=deterministic)
+        inter_d = drop(inter, deterministic=deterministic)
+        attended = mem_vmapped(mem_d, inter_d, memory_mask, deterministic)
+
+        attended = nn.LayerNorm()(attended)
+        h = nn.LayerNorm()(drop(attended, deterministic=deterministic))
+        ff = nn.relu(nn.Dense(self.embed_dim)(h))
+        return attended + ff
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer (torch nn.TransformerEncoderLayer defaults:
+    ReLU, dim_feedforward configurable)."""
+
+    embed_dim: int
+    num_heads: int
+    ff_dim: int = 2048
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+        )(x, x, x, mask=mask)
+        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
+        ff = nn.Dense(self.ff_dim)(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        ff = nn.Dense(self.embed_dim)(ff)
+        return nn.LayerNorm()(x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
+
+
+class ArtSpeechTransformer(nn.Module):
+    """Token encoder + multi-channel decoder + per-articulator predictors
+    (reference models.py:280-474).
+
+    Initialize via the teacher-forced ``__call__`` (it touches every layer);
+    ``generate`` then runs under ``apply(..., method=ArtSpeechTransformer.generate)``
+    with the same parameters (no param creation inside the scan).
+    """
+
+    vocab_size: int
+    num_articulators: int
+    embed_dim: int = 64
+    num_heads: int = 4
+    num_layers: int = 4
+    num_feat: int = 100  # 2 * n_samples
+    dropout: float = 0.0
+    encoder_ff_dim: int = 2048
+
+    def setup(self):
+        self.src_embedding = nn.Embed(self.vocab_size, self.embed_dim)
+        self.pos_encoding = PositionalEncoding(self.dropout)
+        self.tgt_pos_encoding = PositionalEncoding(self.dropout)
+        self.encoder_layers = [
+            TransformerEncoderLayer(
+                self.embed_dim, self.num_heads, self.encoder_ff_dim, self.dropout
+            )
+            for _ in range(self.num_layers)
+        ]
+        self.decoder_layers = [
+            MultiChannelDecoderLayer(
+                self.embed_dim, self.num_heads, self.num_articulators, self.dropout
+            )
+            for _ in range(self.num_layers)
+        ]
+        self.tgt_embed_ln = nn.LayerNorm()
+        self.tgt_embed_dense = nn.Dense(self.embed_dim)
+        self.head_ln = nn.LayerNorm()
+        self.head_dense = nn.Dense(self.embed_dim)
+        self.predictors = nn.vmap(
+            ArticulatorPredictor,
+            in_axes=None,
+            out_axes=2,
+            axis_size=self.num_articulators,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )(n_samples=self.num_feat // 2)
+
+    def _encode(self, src, src_mask, deterministic):
+        embed = self.src_embedding(src)
+        h = self.pos_encoding(embed, deterministic=deterministic)
+        enc_mask = None
+        if src_mask is not None:
+            enc_mask = src_mask[:, None, None, :]  # keys masked
+        for layer in self.encoder_layers:
+            h = layer(h, mask=enc_mask, deterministic=deterministic)
+        return h
+
+    def _decode(self, tgt, memory, tgt_mask, memory_mask, deterministic):
+        """tgt: (B, L, C, F) -> (B, L, C, 2, D) sigmoid contours."""
+        b, l, c, f = tgt.shape
+        h = self.tgt_embed_ln(tgt)
+        h = nn.relu(self.tgt_embed_dense(h))
+        h = jnp.transpose(h, (0, 2, 1, 3))  # (B, C, L, E)
+        h = self.tgt_pos_encoding(h, deterministic=deterministic)
+        for layer in self.decoder_layers:
+            h = layer(h, memory, tgt_mask, memory_mask, deterministic=deterministic)
+        h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, l, c * self.embed_dim)
+        h = self.head_ln(h)
+        h = nn.relu(self.head_dense(h))
+        return nn.sigmoid(self.predictors(h))  # (B, L, C, 2, D)
+
+    def __call__(
+        self,
+        src,
+        tgt,
+        src_lengths=None,
+        tgt_lengths=None,
+        deterministic: bool = True,
+    ):
+        """Teacher-forced forward.
+
+        Args:
+            src: (B, S) token ids; tgt: (B, L, C, F) right-shifted targets.
+        Returns:
+            (B, L, C, 2, D).
+        """
+        b, s = src.shape
+        l = tgt.shape[1]
+        src_mask = (
+            make_padding_mask(src_lengths, s) if src_lengths is not None else None
+        )
+        memory = self._encode(src, src_mask, deterministic)
+
+        causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
+        tgt_mask = causal
+        if tgt_lengths is not None:
+            tgt_pad = make_padding_mask(tgt_lengths, l)
+            tgt_mask = causal & tgt_pad[:, None, None, :]
+        memory_mask = (
+            src_mask[:, None, None, :] if src_mask is not None else None
+        )
+        return self._decode(tgt, memory, tgt_mask, memory_mask, deterministic)
+
+    def generate(self, src, src_lengths=None):
+        """Autoregressive generation from a zero start token via lax.scan
+        (reference models.py:391-427, without per-step re-allocation).
+
+        Returns (B, S, C, 2, D).
+        """
+        b, s = src.shape
+        c, f = self.num_articulators, self.num_feat
+        src_mask = (
+            make_padding_mask(src_lengths, s) if src_lengths is not None else None
+        )
+        memory = self._encode(src, src_mask, True)
+        memory_mask = src_mask[:, None, None, :] if src_mask is not None else None
+
+        buf_len = s + 1
+        causal = jnp.tril(jnp.ones((buf_len, buf_len), bool))[None, None]
+
+        def step(tgt_buf, t):
+            out = self._decode(tgt_buf, memory, causal, memory_mask, True)
+            # (B, L, C, 2, D) -> flat next frame at position t
+            next_frame = out[:, t].reshape(b, c, f)
+            tgt_buf = jax.lax.dynamic_update_slice_in_dim(
+                tgt_buf, next_frame[:, None], t + 1, axis=1
+            )
+            return tgt_buf, None
+
+        tgt0 = jnp.zeros((b, buf_len, c, f))
+        tgt_buf, _ = jax.lax.scan(step, tgt0, jnp.arange(s))
+        return tgt_buf[:, 1:].reshape(b, s, c, 2, f // 2)

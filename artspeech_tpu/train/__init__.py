@@ -36,3 +36,8 @@ from artspeech_tpu.train.pc_step import (
     make_latent_rnn_train_step,
     reconstruction_p2cp_mm,
 )
+from artspeech_tpu.train.step import (
+    make_transformer_eval_step,
+    make_transformer_train_step,
+    shift_targets_right,
+)

@@ -71,3 +71,71 @@ def make_artspeech_eval_step(to_mm: float):
         return metrics, outputs
 
     return jax.jit(eval_step)
+
+
+def shift_targets_right(targets):
+    """(B, T, Nart, 2, D) -> (B, T, Nart, 2*D) teacher-forcing input with a
+    zero start frame (reference train_phoneme_to_articulation_transformer.py:99-111)."""
+    b, t, n_art, two, d = targets.shape
+    flat = targets.reshape(b, t, n_art, two * d)
+    start = jnp.zeros((b, 1, n_art, two * d), flat.dtype)
+    return jnp.concatenate([start, flat[:, :-1]], axis=1)
+
+
+def make_transformer_train_step(to_mm: float, donate: bool = True):
+    """Teacher-forced training step for ArtSpeechTransformer."""
+
+    def train_step(state, batch, dropout_rng):
+        def loss_fn(params):
+            tgt_in = shift_targets_right(batch["targets"])
+            outputs = state.apply_fn(
+                {"params": params},
+                batch["tokens"],
+                tgt_in,
+                src_lengths=batch["lengths"],
+                tgt_lengths=batch["lengths"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            loss = masked_euclidean_loss(outputs, batch["targets"], batch["lengths"])
+            return loss, outputs
+
+        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "p2cp_mm": p2cp_distance_mm(
+                outputs, batch["targets"], batch["lengths"], to_mm=to_mm
+            ),
+        }
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_transformer_eval_step(to_mm: float, teacher_forced: bool = True):
+    """Eval step; teacher-forced for the valid loop (fast), autoregressive
+    handled by the test harness via model.generate."""
+
+    def eval_step(state, batch):
+        tgt_in = shift_targets_right(batch["targets"])
+        outputs = state.apply_fn(
+            {"params": state.params},
+            batch["tokens"],
+            tgt_in,
+            src_lengths=batch["lengths"],
+            tgt_lengths=batch["lengths"],
+            deterministic=True,
+        )
+        loss = masked_euclidean_loss(outputs, batch["targets"], batch["lengths"])
+        metrics = {
+            "loss": loss,
+            "p2cp_mm": p2cp_distance_mm(
+                outputs, batch["targets"], batch["lengths"], to_mm=to_mm
+            ),
+        }
+        return metrics, outputs
+
+    return jax.jit(eval_step)

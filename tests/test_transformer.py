@@ -1,0 +1,160 @@
+"""Multi-channel transformer tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artspeech_tpu.models.transformer import (
+    ArtSpeechTransformer,
+    ChannelInteractionsLayer,
+    ChannelProcessingLayer,
+    MultiChannelDecoderLayer,
+    sinusoidal_positions,
+)
+
+V, C, E, D = 12, 3, 16, 10
+
+
+def small_model():
+    return ArtSpeechTransformer(
+        vocab_size=V,
+        num_articulators=C,
+        embed_dim=E,
+        num_heads=2,
+        num_layers=2,
+        num_feat=2 * D,
+        encoder_ff_dim=32,
+    )
+
+
+def test_sinusoidal_positions():
+    pe = np.asarray(sinusoidal_positions(100, 16))
+    assert pe.shape == (100, 16)
+    np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-7)
+    np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-7)
+
+
+def test_channel_processing_layer():
+    layer = ChannelProcessingLayer(embed_dim=E, num_heads=2)
+    src = jnp.ones((2, 5, E))
+    tgt = jnp.ones((2, 7, E))
+    params = layer.init(jax.random.PRNGKey(0), src, tgt)["params"]
+    out = layer.apply({"params": params}, src, tgt)
+    assert out.shape == (2, 7, E)
+
+
+def test_decoder_layer_channel_stacking():
+    layer = MultiChannelDecoderLayer(embed_dim=E, num_heads=2, num_channels=C)
+    tgt = jnp.ones((2, C, 6, E))
+    memory = jnp.ones((2, 9, E))
+    params = layer.init(jax.random.PRNGKey(0), tgt, memory)["params"]
+    out = layer.apply({"params": params}, tgt, memory)
+    assert out.shape == (2, C, 6, E)
+    # per-channel stacked params (vmap lift) carry a leading C axis
+    flat = jax.tree_util.tree_leaves(params)
+    assert any(x.shape[0] in (C, C - 1) for x in flat if hasattr(x, "shape") and x.ndim >= 1)
+
+
+def test_teacher_forced_forward_and_grad():
+    model = small_model()
+    B, T = 2, 8
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, V, (B, T)), jnp.int32)
+    tgt = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(B, T, C, 2 * D)), jnp.float32
+    )
+    lengths = jnp.asarray([T, 5], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, tgt, lengths, lengths)["params"]
+    out = model.apply({"params": params}, tokens, tgt, lengths, lengths)
+    assert out.shape == (B, T, C, 2, D)
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, tokens, tgt, lengths, lengths) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(
+        np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads)
+    )
+
+
+def test_causality():
+    """Output at position t must not depend on target frames > t."""
+    model = small_model()
+    B, T = 1, 6
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    tgt = jnp.asarray(rng.uniform(size=(B, T, C, 2 * D)), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, tgt, lengths, lengths)["params"]
+    out1 = model.apply({"params": params}, tokens, tgt, lengths, lengths)
+    tgt2 = tgt.at[:, -1].set(123.0)  # corrupt the LAST input frame
+    out2 = model.apply({"params": params}, tokens, tgt2, lengths, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out1[:, :-1]), np.asarray(out2[:, :-1]), atol=1e-5
+    )
+
+
+def test_autoregressive_generate():
+    model = small_model()
+    B, T = 2, 5
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, V, (B, T)), jnp.int32)
+    lengths = jnp.asarray([T, 3], jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        tokens,
+        jnp.zeros((B, T, C, 2 * D)),
+        lengths,
+        lengths,
+    )["params"]
+    out = jax.jit(
+        lambda p, s, l: model.apply(
+            {"params": p}, s, l, method=ArtSpeechTransformer.generate
+        )
+    )(params, tokens, lengths)
+    assert out.shape == (B, T, C, 2, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_transformer_train_step():
+    from artspeech_tpu.train.state import create_train_state
+    from artspeech_tpu.train.step import (
+        make_transformer_eval_step,
+        make_transformer_train_step,
+        shift_targets_right,
+    )
+
+    model = small_model()
+    B, T = 2, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    targets = jnp.asarray(rng.uniform(size=(B, T, C, 2, D)), jnp.float32)
+    lengths = jnp.asarray([T, 6], jnp.int32)
+
+    shifted = shift_targets_right(targets)
+    assert shifted.shape == (B, T, C, 2 * D)
+    np.testing.assert_allclose(np.asarray(shifted[:, 0]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(shifted[:, 1]), np.asarray(targets[:, 0].reshape(B, C, 2 * D))
+    )
+
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        (tokens, shifted, lengths, lengths),
+        learning_rate=1e-3,
+    )
+    step = make_transformer_train_step(to_mm=220.0, donate=False)
+    batch = {"tokens": tokens, "targets": targets, "lengths": lengths}
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    eval_step = make_transformer_eval_step(to_mm=220.0)
+    metrics, outputs = eval_step(state, batch)
+    assert np.isfinite(float(metrics["p2cp_mm"]))
