@@ -9,6 +9,8 @@ Usage: python -m artspeech_tpu.cli.generate_vocal_tract_shape \
            --config config.yaml
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,7 +25,6 @@ from artspeech_tpu.models.mean_contour import (
 from artspeech_tpu.synth.pipeline import SynthesisDataset, synthesize_corpus
 from artspeech_tpu.train.checkpoint import load_params
 from artspeech_tpu.utils.io import sequences_from_dict
-
 
 def build_forward(cfg, vocabulary, articulators):
     method = cfg.get("method", "encoder_decoder")
@@ -49,7 +50,6 @@ def build_forward(cfg, vocabulary, articulators):
         return make_mean_contour_forward(table)
     raise ValueError(f"Unknown synthesis method: {method}")
 
-
 def main(cfg, args, tracker):
     database_name = cfg["database_name"]
     vocabulary = load_vocabulary(cfg["vocab_filepath"])
@@ -71,9 +71,57 @@ def main(cfg, args, tracker):
         regularize_outputs=cfg.get("regularize_outputs", True),
         batch_size=cfg.get("batch_size", 8),
     )
+
+    # Optional per-sentence plots + .avi videos (reference
+    # generate_vocal_tract_shape.py:80-164 / _v2:404-417).
+    if cfg.get("save_plots", False) or cfg.get("save_videos", False):
+
+        import numpy as np
+
+        from artspeech_tpu.core.constants import UPPER_INCISOR
+        from artspeech_tpu.synth.viz import (
+            make_vocal_tract_shape_video,
+            save_vocal_tract_shapes,
+        )
+
+        full_arts = sorted(set(articulators) | {UPPER_INCISOR})
+        framerate = DATASET_CONFIG[database_name].FRAMERATE
+        for sentence_dir in written:
+            with open(os.path.join(sentence_dir, "target_sequence.txt")) as f:
+                phonemes = f.read().split()
+            frames = []
+            for t in range(len(phonemes)):
+                frame_id = f"{t + 1:04d}"
+                arrs = [
+                    np.load(
+                        os.path.join(
+                            sentence_dir, "inference_contours", f"{frame_id}_{a}.npy"
+                        )
+                    )
+                    for a in full_arts
+                ]
+                frames.append(np.stack(arrs))
+            outputs = np.stack(frames)  # (T, Nart, 2, D)
+            if cfg.get("save_plots", False):
+                save_vocal_tract_shapes(
+                    full_arts,
+                    outputs,
+                    phonemes,
+                    os.path.join(sentence_dir, "vocal_tract_shapes"),
+                )
+            if cfg.get("save_videos", False):
+                make_vocal_tract_shape_video(
+                    full_arts,
+                    outputs,
+                    phonemes,
+                    os.path.join(
+                        sentence_dir, os.path.basename(sentence_dir) + ".avi"
+                    ),
+                    framerate=framerate,
+                )
+
     print(f"Synthesized {len(written)} sentences -> {cfg['save_to']}")
     return written
-
 
 if __name__ == "__main__":
     run_experiment("Generate vocal tract shapes", main)

@@ -1,0 +1,82 @@
+"""Evaluate a trained transformer autoregressively on a held-out split.
+
+Equivalent of reference test_phoneme_to_articulation_transformer.py:29-129.
+
+Usage: python -m artspeech_tpu.cli.test_phoneme_to_articulation_transformer \
+           --config cfg.yaml
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from artspeech_tpu.cli.common import run_experiment
+from artspeech_tpu.core.config import DATASET_CONFIG, mm_per_unit
+from artspeech_tpu.core.vocab import load_vocabulary
+from artspeech_tpu.data.batching import BucketedLoader
+from artspeech_tpu.data.datasets import ArtSpeechDataset
+from artspeech_tpu.eval.articulation import run_test
+from artspeech_tpu.models.transformer import ArtSpeechTransformer
+from artspeech_tpu.train.checkpoint import load_params
+from artspeech_tpu.utils.io import sequences_from_dict
+
+
+def main(cfg, args, tracker):
+    database_name = cfg["database_name"]
+    vocabulary = load_vocabulary(cfg["vocab_filepath"])
+    articulators = sorted(cfg["articulators"])
+    n_samples = cfg.get("n_samples", 50)
+
+    model = ArtSpeechTransformer(
+        vocab_size=len(vocabulary),
+        num_articulators=len(articulators),
+        num_feat=2 * n_samples,
+        **(cfg.get("model_kwargs") or {}),
+    )
+    b, t = 1, 8
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, t), jnp.int32),
+        jnp.zeros((b, t, len(articulators), 2 * n_samples)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), t, jnp.int32),
+    )["params"]
+    params = load_params(cfg["state_dict_filepath"], template)
+
+    dataset = ArtSpeechDataset(
+        cfg["datadir"],
+        database_name,
+        sequences_from_dict(cfg["datadir"], cfg["test_seq_dict"]),
+        vocabulary,
+        articulators,
+        clip_tails=cfg.get("clip_tails", True),
+    )
+    loader = BucketedLoader(dataset, batch_size=cfg["batch_size"], shuffle=False)
+
+    def apply_fn(params, tokens, lengths):
+        return model.apply(
+            {"params": params}, tokens, lengths, method=ArtSpeechTransformer.generate
+        )
+
+    info = run_test(
+        params,
+        apply_fn,
+        loader,
+        articulators,
+        to_mm=mm_per_unit(DATASET_CONFIG[database_name]),
+        outputs_dir=cfg.get(
+            "save_to", os.path.join(args.output_dir, "test_outputs", "0")
+        ),
+        regularize_out=cfg.get("regularize_out", False),
+    )
+    with open(os.path.join(args.output_dir, "test_results.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    tracker.log_dict(info, "test_results.json")
+    print(json.dumps(info, indent=2))
+    return info
+
+
+if __name__ == "__main__":
+    run_experiment("Test phoneme-to-articulation transformer", main)

@@ -26,3 +26,4 @@ from artspeech_tpu.eval.autoencoder import (
     run_autoencoder_test,
     run_latent_rnn_test,
 )
+from artspeech_tpu.eval.report import build_report, tv_correlation_report
