@@ -11,7 +11,10 @@ from typing import Optional
 import jax.numpy as jnp
 
 from artspeech_tpu.core.config import DatasetConfig, mm_per_unit
-from artspeech_tpu.ops.distances import euclidean_distance, mean_p2cp
+from artspeech_tpu.ops.distances import (
+    euclidean_distance,
+    mean_p2cp_auto as mean_p2cp,
+)
 from artspeech_tpu.utils.masks import make_padding_mask
 
 

@@ -111,3 +111,47 @@ def test_arclength_resample_straight_line():
     out = np.asarray(arclength_resample(pts, 11))
     np.testing.assert_allclose(out[:, 0], np.linspace(0, 1, 11), atol=1e-6)
     np.testing.assert_allclose(out[:, 1], np.zeros(11), atol=1e-6)
+
+
+def test_pallas_p2cp_parity():
+    """Pallas kernels (interpret mode on CPU) match the XLA reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from artspeech_tpu.ops.pallas_kernels import (
+        mean_p2cp_pallas,
+        min_distance_pallas,
+    )
+    from artspeech_tpu.ops.distances import mean_p2cp, min_distance, mean_p2cp_auto
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(3, 4, 50, 2)).astype(np.float32)
+    v = rng.normal(size=(3, 4, 50, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mean_p2cp_pallas(u, v)),
+        np.asarray(mean_p2cp(jnp.asarray(u), jnp.asarray(v))),
+        rtol=1e-5, atol=1e-6,
+    )
+    d, iu, iv = min_distance_pallas(u, v)
+    d_ref, iu_ref, iv_ref = min_distance(jnp.asarray(u), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-5, atol=1e-6)
+    assert (np.asarray(iu) == np.asarray(iu_ref)).all()
+    assert (np.asarray(iv) == np.asarray(iv_ref)).all()
+    # auto dispatch on CPU hits the XLA path and stays differentiable
+    import jax
+
+    g = jax.grad(lambda a: jnp.sum(mean_p2cp_auto(a, jnp.asarray(v))))(jnp.asarray(u))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mean_p2cp_fast_grad_matches_xla():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from artspeech_tpu.ops.distances import _mean_p2cp_fast, _mean_p2cp_xla
+
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(2, 10, 2)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 12, 2)).astype(np.float32))
+    g_fast = jax.grad(lambda a: jnp.sum(_mean_p2cp_fast(a, v)))(u)
+    g_xla = jax.grad(lambda a: jnp.sum(_mean_p2cp_xla(a, v)))(u)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_xla), rtol=1e-5, atol=1e-6)
