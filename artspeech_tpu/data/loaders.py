@@ -8,7 +8,6 @@ the device.
 """
 
 import os
-from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -23,15 +22,60 @@ from artspeech_tpu.ops.resample import resample_linear_np
 CENTER_OFFSET = (0.3, 0.3)
 
 
-@lru_cache(maxsize=None)
+#: In-RAM contour cache keyed by (filepath, norm_value) — the explicit-dict
+#: version of the reference's lru_cache (phoneme_to_articulation/
+#: __init__.py:52-54), so the native batch loader can prime it.
+_CONTOUR_CACHE: Dict[Tuple[str, float], np.ndarray] = {}
+
+
 def cached_load_articulator_array(filepath: str, norm_value: float) -> np.ndarray:
     """Load an articulator contour npy as (N, 2) scaled by 1/norm_value."""
+    key = (filepath, float(norm_value))
+    hit = _CONTOUR_CACHE.get(key)
+    if hit is not None:
+        return hit
     arr = np.load(filepath).astype(np.float32)
     if arr.ndim != 2:
         raise ValueError(f"Bad contour array {filepath}: shape {arr.shape}")
     if arr.shape[0] == 2 and arr.shape[1] != 2:
         arr = arr.T
-    return arr / float(norm_value)
+    arr = arr / float(norm_value)
+    _CONTOUR_CACHE[key] = arr
+    return arr
+
+
+def prefetch_contours(
+    filepaths: Sequence[str], norm_value: float, n_samples: int = 50
+) -> int:
+    """Bulk-load contours into the cache with the native C++ loader.
+
+    Only files whose original point count equals ``n_samples`` are cached
+    (for those the native resample is the identity, so the cached array is
+    bit-equivalent to the Python path); others fall through to the lazy
+    loader. Returns the number of files primed; 0 when the native library is
+    unavailable.
+    """
+    from artspeech_tpu.data import native
+
+    if not native.available():
+        return 0
+    todo = [
+        fp
+        for fp in dict.fromkeys(filepaths)
+        if (fp, float(norm_value)) not in _CONTOUR_CACHE
+    ]
+    if not todo:
+        return 0
+    contours, ok, orig = native.load_contour_batch(
+        todo, norm_value=norm_value, n_samples=n_samples
+    )
+    primed = 0
+    for i, fp in enumerate(todo):
+        if ok[i] and orig[i] == n_samples:
+            # native layout (2, N) -> cache layout (N, 2)
+            _CONTOUR_CACHE[(fp, float(norm_value))] = contours[i].T.copy()
+            primed += 1
+    return primed
 
 
 def load_articulator_array(
@@ -119,6 +163,22 @@ class VocalTractShapeLoader:
     def load_vocal_tract_shapes(
         self, subject: str, sequence: str, frame_ids: Sequence[str], skip_missing=False
     ):
+        # Prime the contour cache for the whole sentence in one native
+        # batched, multithreaded load (no-op without the C++ library).
+        arts = list(self.articulators)
+        if self.clip_tails:
+            arts += [r for r in TAIL_CLIP_REFERENCES if r not in arts]
+        if UPPER_INCISOR not in arts:
+            arts.append(UPPER_INCISOR)
+        prefetch_contours(
+            [
+                contour_path(self.datadir, subject, sequence, fid, art)
+                for fid in frame_ids
+                for art in arts
+            ],
+            norm_value=self.dataset_config.RES,
+            n_samples=self.num_samples,
+        )
         targets: List[np.ndarray] = []
         references: List[np.ndarray] = []
         for frame_id in frame_ids:
@@ -155,4 +215,4 @@ class VocalTractShapeLoader:
 
 
 def clear_contour_cache():
-    cached_load_articulator_array.cache_clear()
+    _CONTOUR_CACHE.clear()

@@ -16,14 +16,25 @@ import jax.numpy as jnp
 from artspeech_tpu.losses.articulation import (
     masked_euclidean_loss,
     p2cp_distance_mm,
+    recognition_feature_loss,
 )
 
 
-def make_artspeech_train_step(to_mm: float, donate: bool = True):
+def make_artspeech_train_step(
+    to_mm: float,
+    donate: bool = True,
+    recognizer_fn=None,
+    recognition_weight: float = 1.0,
+):
     """Build the jitted training step for ArtSpeech-family models.
 
     Batch layout: dict with ``tokens`` (B, T), ``targets`` (B, T, Nart, 2, D),
     ``lengths`` (B,).
+
+    With ``recognizer_fn`` (a FROZEN feature extractor
+    (shapes (B, C, Nart*D, T), voicing) -> (B, T, F)), the loss adds the deep
+    perceptual supervision term of reference encoder_decoder/loss.py:6-37
+    (``ArtSpeechLoss``): MSE between recognizer features of outputs vs targets.
     """
 
     def train_step(state, batch, dropout_rng):
@@ -36,6 +47,20 @@ def make_artspeech_train_step(to_mm: float, donate: bool = True):
                 rngs={"dropout": dropout_rng},
             )
             loss = masked_euclidean_loss(outputs, batch["targets"], batch["lengths"])
+            if recognizer_fn is not None:
+                b, t, n_art, _, d = outputs.shape
+
+                def to_rec(x):
+                    return x.transpose(0, 3, 2, 4, 1).reshape(b, 2, n_art * d, t)
+
+                voicing = batch.get("voicing")
+                out_feats = recognizer_fn(to_rec(outputs), voicing)
+                tgt_feats = jax.lax.stop_gradient(
+                    recognizer_fn(to_rec(batch["targets"]), voicing)
+                )
+                loss = loss + recognition_weight * recognition_feature_loss(
+                    out_feats, tgt_feats, batch["lengths"]
+                )
             return loss, outputs
 
         (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -149,3 +149,61 @@ def test_normalize_inverse():
     norm = Normalize(mean=np.array([1.0, 2.0]), std=np.array([2.0, 4.0]))
     x = np.array([[3.0, 10.0]])
     np.testing.assert_allclose(norm.inverse(norm(x)), x)
+
+
+def test_native_contour_loader(tmp_path):
+    """Native batch loader matches the Python loader bit-for-bit semantics."""
+    pytest.importorskip("ctypes")
+    from artspeech_tpu.data import native
+    from artspeech_tpu.data.loaders import load_articulator_array
+
+    if not native.available():
+        pytest.skip("native loader not built and g++ unavailable")
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (shape, dtype) in enumerate(
+        [((50, 2), np.float32), ((2, 50), np.float32), ((73, 2), np.float64)]
+    ):
+        arr = rng.uniform(0, 136, size=shape).astype(dtype)
+        p = str(tmp_path / f"c{i}.npy")
+        np.save(p, arr)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.npy"))
+
+    out, ok, orig = native.load_contour_batch(paths, norm_value=136.0, n_samples=50)
+    assert out.shape == (4, 2, 50)
+    assert ok.tolist() == [True, True, True, False]
+    assert orig.tolist() == [50, 50, 73, 0]
+    for i, p in enumerate(paths[:3]):
+        # Python loader returns point-major (N, 2); native returns (2, N).
+        ref = load_articulator_array(p, norm_value=136.0, n_samples=50)
+        np.testing.assert_allclose(out[i], ref.T, rtol=1e-5, atol=1e-6)
+
+
+def test_prefetch_contours(tmp_path):
+    from artspeech_tpu.data import native
+    from artspeech_tpu.data.loaders import (
+        cached_load_articulator_array,
+        clear_contour_cache,
+        prefetch_contours,
+    )
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    clear_contour_cache()
+    rng = np.random.default_rng(0)
+    p50 = str(tmp_path / "a.npy")
+    p73 = str(tmp_path / "b.npy")
+    np.save(p50, rng.uniform(0, 136, (50, 2)).astype(np.float32))
+    np.save(p73, rng.uniform(0, 136, (73, 2)).astype(np.float32))
+    primed = prefetch_contours([p50, p73, p50], norm_value=136.0, n_samples=50)
+    assert primed == 1  # only the 50-point file is identity-resampled
+    # cached value must match a direct load
+    direct = np.load(p50).astype(np.float32) / 136.0
+    np.testing.assert_allclose(
+        cached_load_articulator_array(p50, 136.0), direct, rtol=1e-6
+    )
+    # non-primed path falls back to the lazy loader with full precision
+    assert cached_load_articulator_array(p73, 136.0).shape == (73, 2)
+    clear_contour_cache()
