@@ -7,3 +7,8 @@ from artspeech_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from artspeech_tpu.parallel.distributed import (
+    distribute_state,
+    initialize_multihost,
+    run_distributed_step,
+)

@@ -5,3 +5,5 @@ from artspeech_tpu.utils.io import (
     xarticul_to_npy,
 )
 from artspeech_tpu.utils.masks import make_padding_mask
+from artspeech_tpu.utils.profiling import StepTimer, annotate, log_compile_time, trace
+from artspeech_tpu.utils.tracking import LocalTracker, make_tracker
