@@ -60,11 +60,11 @@ class ResidualCNN(nn.Module):
             return nn.LayerNorm(reduction_axes=-2, feature_axes=-2, dtype=self.dtype)(h)
 
         out = norm_over_d(x)
-        out = nn.gelu(out)
+        out = nn.gelu(out, approximate=False)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype)(out)
         out = norm_over_d(out)
-        out = nn.gelu(out)
+        out = nn.gelu(out, approximate=False)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype)(out)
         return out + x
@@ -80,7 +80,7 @@ class RecurrentBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):  # (B, T, H)
         out = nn.LayerNorm(dtype=self.dtype)(x)
-        out = nn.gelu(out)
+        out = nn.gelu(out, approximate=False)
         out = GRUStack(self.hidden_size, num_layers=1, dtype=self.dtype)(out, mask)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -144,7 +144,9 @@ class DeepSpeech2(nn.Module):
                 self.rnn_hidden_size, dropout=self.dropout, dtype=self.dtype
             )(out, mask, deterministic=deterministic)
 
-        features = nn.gelu(nn.Dense(self.rnn_hidden_size, dtype=self.dtype)(out))
+        features = nn.gelu(
+            nn.Dense(self.rnn_hidden_size, dtype=self.dtype)(out), approximate=False
+        )
         dropped = nn.Dropout(self.dropout)(features, deterministic=deterministic)
         logits = nn.Dense(self.num_classes, dtype=self.dtype)(dropped)
 
