@@ -46,10 +46,15 @@ def main(cfg, args, tracker):
     clip_tails = cfg.get("clip_tails", True)
     seed = cfg.get("seed", 0)
 
+    model_kwargs = dict(cfg.get("model_kwargs") or {})
+    if "dtype" in model_kwargs:
+        from artspeech_tpu.core.config import resolve_dtype
+
+        model_kwargs["dtype"] = resolve_dtype(model_kwargs["dtype"])
     model = ArtSpeech(
         vocab_size=len(vocabulary),
         n_articulators=len(articulators),
-        **(cfg.get("model_kwargs") or {}),
+        **model_kwargs,
     )
 
     loaders = {}

@@ -42,3 +42,15 @@ DATASET_CONFIG = {
 def mm_per_unit(config: DatasetConfig) -> float:
     """Conversion factor from normalized coordinate units to millimetres."""
     return config.RES * config.PIXEL_SPACING
+
+
+def resolve_dtype(dtype):
+    """Resolve a config dtype string ("bfloat16", "float32") to a jnp dtype;
+    None passes through (params stay fp32, compute in input dtype)."""
+    if dtype is None or not isinstance(dtype, str):
+        return dtype
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "fp32": jnp.float32,
+            "float16": jnp.float16, "fp16": jnp.float16}[dtype.lower()]

@@ -170,3 +170,46 @@ def substitution_matrix(
             cm = cm / cm.sum()
         cm = np.nan_to_num(cm)
     return cm
+
+
+def macro_f1(preds: np.ndarray, targets: np.ndarray, num_classes: int, mask=None) -> float:
+    """Macro-averaged F1 over frame-level predictions (reference
+    metrics.py:155-170 ``F1Score`` with torchmetrics MulticlassF1Score)."""
+    preds, targets = np.asarray(preds).ravel(), np.asarray(targets).ravel()
+    if mask is not None:
+        m = np.asarray(mask, bool).ravel()
+        preds, targets = preds[m], targets[m]
+    f1s = []
+    for c in range(num_classes):
+        tp = np.sum((preds == c) & (targets == c))
+        fp = np.sum((preds == c) & (targets != c))
+        fn = np.sum((preds != c) & (targets == c))
+        if tp + fp + fn == 0:
+            continue
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1s.append(0.0 if precision + recall == 0 else 2 * precision * recall / (precision + recall))
+    return float(np.mean(f1s)) if f1s else 0.0
+
+
+def macro_auroc(probs: np.ndarray, targets: np.ndarray, num_classes: int, mask=None) -> float:
+    """Macro one-vs-rest AUROC over frame-level class probabilities
+    (reference metrics.py:185-197 ``AUROC``)."""
+    probs = np.asarray(probs).reshape(-1, np.asarray(probs).shape[-1])
+    targets = np.asarray(targets).ravel()
+    if mask is not None:
+        m = np.asarray(mask, bool).ravel()
+        probs, targets = probs[m], targets[m]
+    aucs = []
+    for c in range(num_classes):
+        pos = targets == c
+        if not pos.any() or pos.all():
+            continue
+        score = probs[:, c]
+        order = np.argsort(score)
+        ranks = np.empty(len(score))
+        ranks[order] = np.arange(1, len(score) + 1)
+        n_pos, n_neg = pos.sum(), (~pos).sum()
+        auc = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        aucs.append(auc)
+    return float(np.mean(aucs)) if aucs else 0.5

@@ -61,3 +61,13 @@ def make_indices_dict(num_components: Dict[str, int]) -> Dict[str, List[int]]:
         indices_dict[key] = list(range(start, start + val))
         start += val
     return indices_dict
+
+
+def set_seeds(worker_id: int = 0, base_seed: int = 0):
+    """Deterministic seeding for data-pipeline workers (reference
+    helpers.py:8-11)."""
+    import random
+
+    seed = base_seed + worker_id
+    np.random.seed(seed % (2**32 - 1))
+    random.seed(seed)

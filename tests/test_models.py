@@ -160,3 +160,28 @@ def test_plateau_and_early_stopping():
     assert not es.should_stop
     assert not es.update(2.0)
     assert es.should_stop
+
+
+def test_bfloat16_forward():
+    """bf16 compute path: finite outputs close to the fp32 forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from artspeech_tpu.models.artspeech_rnn import ArtSpeech
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 10, (2, 12)), jnp.int32)
+    lengths = jnp.asarray([12, 7], jnp.int32)
+
+    m32 = ArtSpeech(vocab_size=10, n_articulators=3, hidden_size=16)
+    params = m32.init(jax.random.PRNGKey(0), tokens, lengths)["params"]
+    out32 = m32.apply({"params": params}, tokens, lengths)
+
+    m16 = ArtSpeech(vocab_size=10, n_articulators=3, hidden_size=16, dtype=jnp.bfloat16)
+    out16 = m16.apply({"params": params}, tokens, lengths)
+    assert np.isfinite(np.asarray(out16, np.float32)).all()
+    # sigmoid outputs: bf16 recurrent accumulation drifts ~4e-2 worst case
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), atol=8e-2
+    )
+    assert float(np.abs(np.asarray(out16, np.float32) - np.asarray(out32)).mean()) < 5e-3

@@ -329,3 +329,19 @@ def test_melspec_matches_numpy_fft():
     ours = np.asarray(melspectrogram(jnp.asarray(audio)))
     assert ours.shape == expected.shape
     np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_macro_f1_and_auroc():
+    from artspeech_tpu.eval.recognition_metrics import macro_auroc, macro_f1
+
+    preds = np.array([0, 1, 2, 2, 1, 0])
+    tgts = np.array([0, 1, 2, 1, 1, 0])
+    f1 = macro_f1(preds, tgts, num_classes=3)
+    # class0: perfect (1.0); class1: P=1, R=2/3 -> 0.8; class2: P=0.5, R=1 -> 2/3
+    assert f1 == pytest.approx((1.0 + 0.8 + 2 / 3) / 3)
+
+    probs = np.array([[0.9, 0.1], [0.8, 0.2], [0.3, 0.7], [0.4, 0.6]])
+    tgts2 = np.array([0, 0, 1, 1])
+    assert macro_auroc(probs, tgts2, num_classes=2) == pytest.approx(1.0)
+    probs_bad = probs[::-1]
+    assert macro_auroc(probs_bad, tgts2, num_classes=2) == pytest.approx(0.0)
