@@ -15,6 +15,23 @@ import yaml
 from artspeech_tpu.utils.tracking import make_tracker
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None):
+    """Persistent XLA compilation cache: the first DeepSpeech2-sized conv
+    autotune costs minutes on TPU; caching makes it once per machine, not
+    once per process."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "artspeech_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def parse_cli(description: str):
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--config", dest="config_filepath", required=True)
@@ -33,6 +50,7 @@ def parse_cli(description: str):
 
 def run_experiment(description: str, main_fn: Callable):
     """Parse CLI, build tracker, call ``main_fn(cfg, args, tracker)``."""
+    enable_compilation_cache()
     args, cfg = parse_cli(description)
     run_dir = os.path.join(args.output_dir, args.run_name or "run")
     tracker = make_tracker(

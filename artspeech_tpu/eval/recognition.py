@@ -161,7 +161,15 @@ def _maybe_tsne_plot(features, labels, vocabulary, outputs_dir, max_points=2000)
     if len(feats) > max_points:
         idx = np.random.default_rng(0).choice(len(feats), max_points, replace=False)
         feats, labs = feats[idx], labs[idx]
-    emb = TSNE(n_components=2, init="pca", random_state=0).fit_transform(feats)
+    if len(feats) < 5:
+        return
+    perplexity = min(30.0, (len(feats) - 1) / 3.0)
+    try:
+        emb = TSNE(
+            n_components=2, init="pca", random_state=0, perplexity=perplexity
+        ).fit_transform(feats)
+    except Exception:
+        return
     cmap = token_class_map(vocabulary)
     classes = np.array([cmap.get(int(l), len(CLASSES_NAMES) - 1) for l in labs])
     fig, ax = plt.subplots(figsize=(8, 8))

@@ -60,5 +60,34 @@ def save_params(path: str, params):
 
 
 def load_params(path: str, template):
+    """Restore a bare parameter pytree. Accepts either a model-only artifact
+    (save_params output) or a full train-state checkpoint directory/its
+    ``state`` subdir — the params subtree is extracted in that case."""
+    path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path), item=template)
+    candidates = [path]
+    if os.path.isdir(os.path.join(path, "state")):
+        candidates.insert(0, os.path.join(path, "state"))
+    last_err = None
+    for p in candidates:
+        try:
+            return ckptr.restore(p, item=template)
+        except Exception as exc:  # structure mismatch -> try full-state form
+            last_err = exc
+        try:
+            # Build a host-array item skeleton from on-disk metadata (forcing
+            # numpy restore, no shardings needed), then extract the params
+            # subtree.
+            tree_meta = ckptr.metadata(p).item_metadata.tree
+            skeleton = jax.tree_util.tree_map(
+                lambda m: np.zeros(m.shape, m.dtype), tree_meta
+            )
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), skeleton
+            )
+            restored = ckptr.restore(p, item=skeleton, restore_args=restore_args)
+            if isinstance(restored, dict) and "params" in restored:
+                return restored["params"]
+        except Exception as exc:
+            last_err = exc
+    raise last_err

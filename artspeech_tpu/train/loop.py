@@ -14,7 +14,11 @@ from typing import Callable, Dict, Optional
 import jax
 import numpy as np
 
-from artspeech_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from artspeech_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
 from artspeech_tpu.train.state import (
     EarlyStopping,
     PlateauScheduler,
@@ -121,6 +125,9 @@ def fit(
 
         if is_best:
             save_checkpoint(best_dir, state, aux={"epoch": epoch, monitor: monitored})
+            # Model-only artifact (reference best_model.pt: a bare state
+            # dict, train_phoneme_to_articulation.py:295-301).
+            save_params(os.path.join(checkpoints_dir, "best_model"), state.params)
         save_checkpoint(
             last_dir,
             state,

@@ -31,6 +31,13 @@ FRAMES = BATCH * SEQ
 
 def bench_tpu():
     import jax
+
+    try:
+        from artspeech_tpu.cli.common import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from artspeech_tpu.core import constants as C
