@@ -99,6 +99,7 @@ def main(cfg, args, tracker):
         os.path.join(outputs_dir, "nomograms.npz"),
         **{f"component_{i}": v for i, v in noms.items()},
     )
+    _plot_nomograms(noms, articulators, outputs_dir)
 
     # Latent histograms (reference :230-260): reuse dumped latents.
     latents = np.load(os.path.join(outputs_dir, "latents.npy"))
@@ -111,6 +112,41 @@ def main(cfg, args, tracker):
     tracker.log_dict(info, "test_results.json")
     print(json.dumps(info, indent=2))
     return info
+
+
+def _plot_nomograms(noms, articulators, outputs_dir):
+    """Per-component contour sweep figures (reference
+    test_principal_components_autoencoder.py nomogram plots)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    from artspeech_tpu.core.constants import COLORS
+
+    plots_dir = os.path.join(outputs_dir, "nomograms")
+    os.makedirs(plots_dir, exist_ok=True)
+    arts = sorted(articulators)
+    for comp, sweep in noms.items():
+        fig, ax = plt.subplots(figsize=(6, 6))
+        k = sweep.shape[0]
+        for s_idx in range(k):
+            alpha = 0.25 + 0.75 * s_idx / max(k - 1, 1)
+            for i, art in enumerate(arts):
+                ax.plot(
+                    sweep[s_idx, i, 0],
+                    sweep[s_idx, i, 1],
+                    color=COLORS.get(art, "black"),
+                    alpha=alpha,
+                    linewidth=1,
+                )
+        ax.invert_yaxis()
+        ax.axis("off")
+        ax.set_title(f"component {comp}")
+        fig.savefig(os.path.join(plots_dir, f"component_{comp}.jpg"), dpi=100)
+        plt.close(fig)
 
 
 if __name__ == "__main__":

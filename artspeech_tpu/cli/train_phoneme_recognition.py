@@ -81,7 +81,20 @@ def main(cfg, args, tracker):
             voiced_tokens = json.load(f)
 
     model_params = dict(cfg.get("model_params") or {})
-    model = DeepSpeech2(num_classes=len(vocabulary), **model_params)
+    pretrained_params = None
+    if cfg.get("pretrained", False):
+        # LibriSpeech-pretrained init with a fresh classifier head
+        # (reference train_phoneme_recognition.py:112-118).
+        from artspeech_tpu.utils.torch_import import load_librispeech_deepspeech2
+
+        model, pretrained_params = load_librispeech_deepspeech2(
+            cfg["pretrained_filepath"],
+            num_classes=len(vocabulary),
+            num_features=model_params.get("num_features", 80),
+            adapter_out_features=model_params.get("adapter_out_features"),
+        )
+    else:
+        model = DeepSpeech2(num_classes=len(vocabulary), **model_params)
 
     class_weights = None
     if cfg.get("class_weights_filepath"):
@@ -122,6 +135,8 @@ def main(cfg, args, tracker):
         feature_fn(sample),
         lengths=sample["input_lengths"],
     )["params"]
+    if pretrained_params is not None:
+        params = pretrained_params
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     tracker.log_params({"num_network_params": count_parameters(params)})
     print(f"DeepSpeech2 -- {count_parameters(params)} parameters")
