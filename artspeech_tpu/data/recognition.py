@@ -130,9 +130,8 @@ class PhonemeRecognitionDataset:
         sample = {"sentence_name": item["sentence_name"]}
 
         if MELSPEC in self.features:
+            # Collectors already slice per-sentence wavs when tmp_dir is set.
             audio, sr = read_wav(item["wav_filepath"])
-            if "audio_interval" in item and item.get("full_wav", False):
-                pass  # collectors already slice per-sentence wavs when tmp_dir set
             audio = resample_audio(audio, sr, self.sample_rate)
             sample["audio"] = audio.astype(np.float32)
             sample["audio_length"] = len(audio)

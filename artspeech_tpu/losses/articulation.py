@@ -65,7 +65,9 @@ def p2cp_distance_mm(
     per_sentence = jnp.sum(p2cp_mm * mask[:, :, None], axis=(1, 2)) / (
         jnp.maximum(lengths.astype(p2cp.dtype), 1.0) * p2cp.shape[2]
     )
-    return jnp.mean(per_sentence)
+    # Zero-length dummy rows (bucket padding) must not dilute the batch mean.
+    valid = (lengths > 0).astype(p2cp.dtype)
+    return jnp.sum(per_sentence * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def euclidean_distance_mm(outputs, targets, lengths, to_mm: float):
@@ -76,7 +78,8 @@ def euclidean_distance_mm(outputs, targets, lengths, to_mm: float):
     per_sentence = jnp.sum(
         jnp.mean(dist, axis=-1) * mask[:, :, None], axis=(1, 2)
     ) / (jnp.maximum(lengths.astype(dist.dtype), 1.0) * dist.shape[2])
-    return jnp.mean(per_sentence) * to_mm
+    valid = (lengths > 0).astype(dist.dtype)
+    return jnp.sum(per_sentence * valid) / jnp.maximum(jnp.sum(valid), 1.0) * to_mm
 
 
 def recognition_feature_loss(output_features, target_features, lengths):

@@ -36,8 +36,10 @@ class GRULayer(nn.Module):
             x: (B, T, E) inputs.
             mask: (B, T) bool; True on valid timesteps.
         Returns:
-            (B, T, H) outputs; zero at padded positions when the carry
-            never updated (matching pack_padded semantics).
+            (B, T, H) outputs. At padded positions the carry is frozen, so
+            outputs there repeat the last valid hidden state; every masked
+            consumer ignores them (valid-region outputs match torch
+            pack_padded exactly — see tests/test_gru_torch_parity.py).
         """
         batch, _, in_features = x.shape
         hidden = self.hidden_size

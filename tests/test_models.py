@@ -185,3 +185,27 @@ def test_bfloat16_forward():
         np.asarray(out16, np.float32), np.asarray(out32), atol=8e-2
     )
     assert float(np.abs(np.asarray(out16, np.float32) - np.asarray(out32)).mean()) < 5e-3
+
+
+def test_p2cp_metric_ignores_dummy_rows():
+    """Bucket-padding dummy sentences (length 0) must not dilute metrics."""
+    import jax.numpy as jnp
+    import numpy as np
+    from artspeech_tpu.losses.articulation import (
+        euclidean_distance_mm,
+        p2cp_distance_mm,
+    )
+
+    rng = np.random.default_rng(0)
+    out = jnp.asarray(rng.uniform(size=(2, 6, 3, 2, 10)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(size=(2, 6, 3, 2, 10)).astype(np.float32))
+    full = p2cp_distance_mm(out, tgt, jnp.asarray([6, 6]), to_mm=1.0)
+    # append two dummy rows
+    out_p = jnp.concatenate([out, jnp.zeros_like(out)], axis=0)
+    tgt_p = jnp.concatenate([tgt, jnp.zeros_like(tgt)], axis=0)
+    padded = p2cp_distance_mm(out_p, tgt_p, jnp.asarray([6, 6, 0, 0]), to_mm=1.0)
+    np.testing.assert_allclose(float(padded), float(full), rtol=1e-6)
+
+    med_full = euclidean_distance_mm(out, tgt, jnp.asarray([6, 6]), to_mm=1.0)
+    med_padded = euclidean_distance_mm(out_p, tgt_p, jnp.asarray([6, 6, 0, 0]), to_mm=1.0)
+    np.testing.assert_allclose(float(med_padded), float(med_full), rtol=1e-6)
