@@ -27,3 +27,4 @@ from artspeech_tpu.data.pc_datasets import (
     load_norm_stats,
     stack_norm_stats,
 )
+from artspeech_tpu.data.batching import CachedLoader, prefetch_to_device

@@ -130,3 +130,46 @@ class BucketedLoader:
                     continue
                 items = [self._get(i) for i in chunk]
                 yield collate_articulation_batch(items, bucket, self.batch_size)
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Async device prefetch: device_put the next batch(es) while the
+    current one computes (single-device flax.jax_utils.prefetch analogue).
+
+    Works with (batch, meta) tuples — only the batch pytree is transferred.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(item):
+        batch, meta = item
+        batch = jax.tree_util.tree_map(jax.device_put, batch)
+        queue.append((batch, meta))
+
+    it = iter(iterator)
+    for item in it:
+        put(item)
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+class CachedLoader:
+    """Materialize a loader's batches once and replay them (deterministic
+    eval loaders re-collate identically every epoch otherwise)."""
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._batches = None
+
+    def __len__(self):
+        return len(self._batches) if self._batches is not None else len(self._loader)
+
+    def __iter__(self):
+        if self._batches is None:
+            self._batches = list(self._loader)
+        return iter(self._batches)

@@ -29,8 +29,10 @@ from artspeech_tpu.train.state import (
 
 def run_train_epoch(state, loader, train_step, rng) -> (object, Dict[str, float]):
     """One training epoch; returns (state, mean metrics)."""
+    from artspeech_tpu.data.batching import prefetch_to_device
+
     sums, count = {}, 0
-    for i, (batch, _meta) in enumerate(loader):
+    for i, (batch, _meta) in enumerate(prefetch_to_device(loader)):
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
         count += 1
@@ -41,8 +43,10 @@ def run_train_epoch(state, loader, train_step, rng) -> (object, Dict[str, float]
 
 
 def run_eval_epoch(state, loader, eval_step) -> Dict[str, float]:
+    from artspeech_tpu.data.batching import prefetch_to_device
+
     sums, count = {}, 0
-    for batch, _meta in loader:
+    for batch, _meta in prefetch_to_device(loader):
         metrics, _ = eval_step(state, batch)
         count += 1
         for k, v in metrics.items():

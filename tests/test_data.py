@@ -207,3 +207,29 @@ def test_prefetch_contours(tmp_path):
     # non-primed path falls back to the lazy loader with full precision
     assert cached_load_articulator_array(p73, 136.0).shape == (73, 2)
     clear_contour_cache()
+
+
+def test_prefetch_and_cached_loader():
+    from artspeech_tpu.data.batching import CachedLoader, prefetch_to_device
+
+    batches = [({"x": np.ones((2, 3)) * i}, {"names": [f"s{i}"]}) for i in range(5)]
+    out = list(prefetch_to_device(batches, size=2))
+    assert len(out) == 5
+    assert float(out[3][0]["x"][0, 0]) == 3.0
+    assert out[4][1]["names"] == ["s4"]
+
+    calls = []
+
+    class CountingLoader:
+        def __iter__(self):
+            calls.append(1)
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    cached = CachedLoader(CountingLoader())
+    assert list(cached) == batches
+    assert list(cached) == batches
+    assert len(calls) == 1  # source iterated exactly once
+    assert len(cached) == 5
