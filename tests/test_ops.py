@@ -1,6 +1,7 @@
 """Golden-value unit tests for ops: distances, B-splines, resampling."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from artspeech_tpu.ops import (
@@ -155,3 +156,53 @@ def test_mean_p2cp_fast_grad_matches_xla():
     g_fast = jax.grad(lambda a: jnp.sum(_mean_p2cp_fast(a, v)))(u)
     g_xla = jax.grad(lambda a: jnp.sum(_mean_p2cp_xla(a, v)))(u)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_xla), rtol=1e-5, atol=1e-6)
+
+
+def test_bspline_basis_matches_scipy():
+    """Cox-de Boor design matrix vs scipy.interpolate.BSpline.design_matrix."""
+    scipy_interp = pytest.importorskip("scipy.interpolate")
+    import numpy as np
+    from artspeech_tpu.ops.bspline import bspline_basis
+
+    n_points, n_ctrl, degree = 50, 12, 3
+    n_knots = n_ctrl + degree + 1
+    interior = n_knots - 2 * (degree + 1)
+    knots = np.concatenate([
+        np.zeros(degree + 1),
+        np.linspace(0.0, 1.0, interior + 2)[1:-1],
+        np.ones(degree + 1),
+    ])
+    ts = np.linspace(0.0, 1.0, n_points)
+    ref = scipy_interp.BSpline.design_matrix(
+        ts, knots, degree, extrapolate=True
+    ).toarray()[:, :n_ctrl]
+    ours = bspline_basis(n_points, n_ctrl, degree)
+    np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_bspline_projection_matches_scipy_lsq():
+    """The fixed projection equals scipy's least-squares B-spline fit."""
+    scipy_interp = pytest.importorskip("scipy.interpolate")
+    import numpy as np
+    from artspeech_tpu.ops.bspline import (
+        bspline_basis,
+        bspline_projection,
+        regularize_bsplines,
+    )
+
+    n_points, n_ctrl, degree = 50, 12, 3
+    rng = np.random.default_rng(0)
+    contour = np.cumsum(rng.normal(size=(n_points, 2)), axis=0).astype(np.float64)
+    ts = np.linspace(0.0, 1.0, n_points)
+    n_knots = n_ctrl + degree + 1
+    interior = n_knots - 2 * (degree + 1)
+    knots = np.concatenate([
+        np.zeros(degree + 1),
+        np.linspace(0.0, 1.0, interior + 2)[1:-1],
+        np.ones(degree + 1),
+    ])
+    lsq = scipy_interp.make_lsq_spline(ts, contour, knots, k=degree)
+    expected = lsq(ts)
+    got = np.asarray(regularize_bsplines(contour[None]))[0]
+    # lam=1e-6 ridge vs exact LSQ: near-identical
+    np.testing.assert_allclose(got, expected, atol=1e-3)
