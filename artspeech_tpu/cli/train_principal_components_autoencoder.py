@@ -109,7 +109,7 @@ def main(cfg, args, tracker):
     best_metric, since_best = float("inf"), 0
     for epoch in range(cfg["num_epochs"]):
         metrics_sum, n = {}, 0
-        for batch in datasets["train"].batches(
+        for batch, _meta in datasets["train"].batches(
             cfg["batch_size"], shuffle=True, seed=cfg.get("seed", 0) + epoch
         ):
             state, metrics = train_step(state, batch)
@@ -121,7 +121,7 @@ def main(cfg, args, tracker):
         }
 
         metrics_sum, n = {}, 0
-        for batch in datasets["valid"].batches(cfg["batch_size"], shuffle=False):
+        for batch, _meta in datasets["valid"].batches(cfg["batch_size"], shuffle=False):
             metrics, _ = eval_step(state, batch)
             n += 1
             for k, v in metrics.items():

@@ -164,7 +164,9 @@ class AutoencoderDataset:
         }
 
     def batches(self, batch_size: int, shuffle=True, seed=0, drop_last=False):
-        """Fixed-shape frame batches {inputs (B, Nart, F), weights (B,)}."""
+        """Fixed-shape frame batches: ({inputs (B, Nart, F), weights (B,)},
+        {frame_names, phonemes, n_valid}) — arrays and metadata split so the
+        batch dict can go straight into a jitted step."""
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -180,13 +182,13 @@ class AutoencoderDataset:
                 pad = batch_size - n
                 inputs = np.concatenate([inputs, np.zeros((pad,) + inputs.shape[1:], np.float32)])
                 weights = np.concatenate([weights, np.zeros(pad, np.float32)])
-            yield {
-                "inputs": inputs,
-                "weights": weights,
+            batch = {"inputs": inputs, "weights": weights}
+            meta = {
                 "frame_names": [it["frame_name"] for it in items],
                 "phonemes": [it["phoneme"] for it in items],
                 "n_valid": n,
             }
+            yield batch, meta
 
 
 class PrincipalComponentsDataset:

@@ -46,9 +46,9 @@ def run_autoencoder_test(
     arts = sorted(articulators)
     losses, all_latents = [], []
     per_art_p2cp = []
-    for batch in dataset.batches(batch_size, shuffle=False):
+    for batch, meta in dataset.batches(batch_size, shuffle=False):
         metrics, (recon, latents) = eval_step(state, batch)
-        n = batch["n_valid"]
+        n = meta["n_valid"]
         losses.append(float(metrics["loss"]))
         recon = np.asarray(recon)[:n]
         latents = np.asarray(latents)[:n]
