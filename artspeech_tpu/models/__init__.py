@@ -35,3 +35,4 @@ from artspeech_tpu.models.transformer import (
     MultiChannelDecoderLayer,
     PositionalEncoding,
 )
+from artspeech_tpu.models.transformer import make_fast_generate

@@ -158,3 +158,29 @@ def test_transformer_train_step():
     eval_step = make_transformer_eval_step(to_mm=220.0)
     metrics, outputs = eval_step(state, batch)
     assert np.isfinite(float(metrics["p2cp_mm"]))
+
+
+def test_fast_generate_matches_generate():
+    """KV-cached incremental decoding == full-buffer re-decoding."""
+    from artspeech_tpu.models.transformer import make_fast_generate
+
+    model = small_model()
+    B, T = 2, 6
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, V, (B, T)), jnp.int32)
+    lengths = jnp.asarray([T, 4], jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        tokens,
+        jnp.zeros((B, T, C, 2 * D)),
+        lengths,
+        lengths,
+    )["params"]
+    slow = model.apply(
+        {"params": params}, tokens, lengths, method=ArtSpeechTransformer.generate
+    )
+    fast_fn = jax.jit(make_fast_generate(model, max_len=T))
+    fast = fast_fn(params, tokens, lengths)
+    assert fast.shape == slow.shape
+    # cached vs full-buffer attention differ only by reduction order;
+    # autoregression compounds it slightly (observed max ~1e-4)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=5e-4)
