@@ -48,6 +48,44 @@ def build_forward(cfg, vocabulary, articulators):
     if method == "mean_contour":
         table = MeanContourTable.load(cfg["state_dict_filepath"])
         return make_mean_contour_forward(table)
+    if method == "autoencoder":
+        # Latent RNN -> frozen decoder -> denorm (reference v2:331-350).
+        from artspeech_tpu.cli.train_phoneme_to_principal_components import (
+            build_frozen_ae,
+        )
+        from artspeech_tpu.data.pc_datasets import load_norm_stats, stack_norm_stats
+        from artspeech_tpu.models.autoencoder import normalize_indices_dict
+        from artspeech_tpu.models.latent_rnn import PrincipalComponentsArtSpeech
+
+        indices_dict = normalize_indices_dict(cfg["indices_dict"])
+        arts = sorted(indices_dict.keys())
+        norm_stats = load_norm_stats(cfg["norm_stats_dir"] if cfg.get("norm_stats_dir")
+                                     else cfg["datadir"], arts)
+        denorm_mean, denorm_std = stack_norm_stats(norm_stats, arts)
+        _, decode_fn = build_frozen_ae(cfg, indices_dict, arts)
+        rnn = PrincipalComponentsArtSpeech(
+            vocab_size=len(vocabulary),
+            indices_dict=indices_dict,
+            **(cfg.get("model_params") or {}),
+        )
+        template = rnn.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8), jnp.int32),
+            jnp.full((1,), 8, jnp.int32),
+        )["params"]
+        rnn_params = load_params(cfg["state_dict_filepath"], template)
+        from artspeech_tpu.models.latent_rnn import make_latent_rnn_synthesis_forward
+
+        return make_latent_rnn_synthesis_forward(
+            rnn,
+            rnn_params,
+            None,
+            None,
+            jnp.asarray(denorm_mean),
+            jnp.asarray(denorm_std),
+            rescale_factor=cfg.get("rescale_factor", 1.0),
+            decode_fn=decode_fn,
+        )
     raise ValueError(f"Unknown synthesis method: {method}")
 
 def main(cfg, args, tracker):

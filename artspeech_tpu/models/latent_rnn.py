@@ -71,22 +71,28 @@ def make_latent_rnn_synthesis_forward(
     denorm_std,
     n_samples: int = 50,
     rescale_factor: float = 1.0,
+    decode_fn=None,
 ):
     """Synthesis wrapper: rnn -> frozen decoder -> reshape -> denorm
     (reference models/__init__.py:20-43).
 
     Args:
         denorm_mean/denorm_std: (Nart, 2, n_samples) per-articulator stats.
+        decode_fn: optional prebuilt frozen decoder closure; otherwise built
+            from (decoder_model, decoder_params).
     Returns forward(tokens, lengths) -> (B, T, Nart, 2, n_samples).
     """
+    if decode_fn is None:
+        def decode_fn(z):
+            return decoder_model.apply({"params": decoder_params}, z)
+
+    d = int(jnp.asarray(denorm_mean).shape[-1]) if denorm_mean is not None else n_samples
 
     def forward(tokens, lengths):
         latents = rnn_model.apply({"params": rnn_params}, tokens, lengths)
-        shapes = decoder_model.apply(
-            {"params": decoder_params}, rescale_factor * latents
-        )  # (B, T, Nart, 2 * n_samples)
+        shapes = decode_fn(rescale_factor * latents)  # (B, T, Nart, 2*D)
         b, t, n_art, _ = shapes.shape
-        shapes = shapes.reshape(b, t, n_art, 2, n_samples)
+        shapes = shapes.reshape(b, t, n_art, 2, d)
         return shapes * denorm_std + denorm_mean
 
     return forward
