@@ -27,7 +27,7 @@ from artspeech_tpu.models.autoencoder import (
     latent_size_of,
     normalize_indices_dict,
 )
-from artspeech_tpu.train.checkpoint import restore_checkpoint
+from artspeech_tpu.train.checkpoint import load_params
 from artspeech_tpu.train.pc_step import make_autoencoder_eval_step
 from artspeech_tpu.train.state import TrainState
 from artspeech_tpu.utils.io import sequences_from_dict
@@ -62,9 +62,9 @@ def main(cfg, args, tracker):
         decoder_cls=cfg.get("decoder_cls", "AE"),
     )
     sample = jnp.zeros((1, len(articulators), cfg.get("in_features", 100)))
-    params = model.init(jax.random.PRNGKey(0), sample)["params"]
+    template = model.init(jax.random.PRNGKey(0), sample)["params"]
+    params = load_params(cfg["checkpoint_dir"], template)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.identity())
-    state, _ = restore_checkpoint(cfg["checkpoint_dir"], state)
 
     eval_step = make_autoencoder_eval_step(
         model, indices_dict, cfg.get("alpha", 0.1), jnp.asarray(denorm_mean),

@@ -132,8 +132,11 @@ _mean_p2cp_fast.defvjp(_mean_p2cp_fast_fwd, _mean_p2cp_fast_bwd)
 
 
 def mean_p2cp_auto(u, v):
-    """mean_p2cp with the Pallas kernel on TPU (3.8x the fused XLA lowering
-    at (16,128,11,50,50) on v5e; see ops/pallas_kernels.py), XLA elsewhere.
+    """mean_p2cp with the Pallas kernel on TPU, XLA elsewhere.
+
+    Measured on v5e at (16,128,11,50,50): the Pallas kernel is never slower
+    and up to 3.8x faster depending on how XLA fuses the surrounding graph
+    (0.026ms vs 0.026-0.098ms across runs; see benchmarks/run_all.py).
     Differentiable: the backward pass uses the XLA formula."""
     import jax
 

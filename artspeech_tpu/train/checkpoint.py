@@ -78,9 +78,11 @@ def load_params(path: str, template):
             # Build a host-array item skeleton from on-disk metadata (forcing
             # numpy restore, no shardings needed), then extract the params
             # subtree.
-            tree_meta = ckptr.metadata(p).item_metadata.tree
+            item_meta = ckptr.metadata(p).item_metadata
+            if item_meta is None or not hasattr(item_meta, "tree"):
+                continue
             skeleton = jax.tree_util.tree_map(
-                lambda m: np.zeros(m.shape, m.dtype), tree_meta
+                lambda m: np.zeros(m.shape, m.dtype), item_meta.tree
             )
             restore_args = jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), skeleton
