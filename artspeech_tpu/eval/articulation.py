@@ -101,27 +101,30 @@ def make_test_step(
         loss = masked_euclidean_loss(outputs, targets, lengths)
         metrics = per_sentence_metrics(outputs, targets, lengths)
 
-        out_dump = outputs
-        if regularize_out:
-            out_dump = jnp.swapaxes(
-                regularize_bsplines(jnp.swapaxes(outputs, -1, -2)), -1, -2
-            )
-
-        merged_out, tv_articulators = inject_upper_incisor(
-            out_dump, batch["references"], articulators
+        merged_raw, tv_articulators = inject_upper_incisor(
+            outputs, batch["references"], articulators
         )
         merged_tgt, _ = inject_upper_incisor(
             targets, batch["references"], articulators
         )
 
+        # TVs are computed on the RAW outputs (reference run_test calls
+        # tract_variables before save_outputs' optional regularization,
+        # encoder_decoder/evaluation.py:111-140).
         tvs_pred = tvs_tgt = None
         if compute_tvs and all(
             a in tv_articulators for a in REQUIRED_ARTICULATORS_FOR_TVS
         ):
-            tvs_pred = tract_variables_from_stack(merged_out, tv_articulators)
+            tvs_pred = tract_variables_from_stack(merged_raw, tv_articulators)
             tvs_tgt = tract_variables_from_stack(merged_tgt, tv_articulators)
             tvs_pred = {k: v for k, v in tvs_pred.items() if v is not None}
             tvs_tgt = {k: v for k, v in tvs_tgt.items() if v is not None}
+
+        merged_out = merged_raw
+        if regularize_out:
+            merged_out = jnp.swapaxes(
+                regularize_bsplines(jnp.swapaxes(merged_raw, -1, -2)), -1, -2
+            )
 
         return {
             "loss": loss,
