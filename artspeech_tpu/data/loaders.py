@@ -102,6 +102,7 @@ def prepare_articulator_array(
     dataset_config: DatasetConfig,
     normalize_fn=None,
     clip_tails: bool = True,
+    n_samples: int = 50,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Load one articulator contour, optionally tail-clip, recentre on the
     upper incisor's last point + (0.3, 0.3).
@@ -114,6 +115,8 @@ def prepare_articulator_array(
         contour_path(datadir, subject, sequence, frame_id, articulator),
         norm_value=dataset_config.RES,
     )
+    if arr.shape[0] != n_samples:
+        arr = resample_linear_np(arr, n_samples)
 
     if clip_tails:
         refs = {
@@ -129,6 +132,8 @@ def prepare_articulator_array(
         contour_path(datadir, subject, sequence, frame_id, UPPER_INCISOR),
         norm_value=dataset_config.RES,
     )
+    if incisor.shape[0] != n_samples:
+        incisor = resample_linear_np(incisor, n_samples)
     origin = incisor.T[:, -1:]  # (2, 1): last point of the upper incisor
 
     reference_array = incisor.T - origin
@@ -194,6 +199,7 @@ class VocalTractShapeLoader:
                         articulator,
                         self.dataset_config,
                         clip_tails=self.clip_tails,
+                        n_samples=self.num_samples,
                     )
                     frame_arrays.append(arr)
             except FileNotFoundError:

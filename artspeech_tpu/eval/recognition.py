@@ -107,10 +107,21 @@ def run_recognition_test(
             tgt_strs.append(" ".join(map(str, t)))
 
         if collect_features and "features" in result:
-            feats = np.asarray(result["features"])
-            for i in np.nonzero(valid)[0]:
-                features.append(feats[i, : lengths[i]])
-                feature_labels.append(np.asarray(targets[i, : lengths[i]]))
+            # Frame-aligned labels: the CTC target is collapsed and has no
+            # frame alignment (reference uses a separate frame-aligned
+            # plot_target, __init__.py:156-246). Prefer the acoustic /
+            # articulatory targets, which align 1:1 with input frames.
+            label_src = None
+            for key in ("acoustic_target", "articulatory_target"):
+                if key in batch:
+                    label_src = np.asarray(batch[key])
+                    break
+            if label_src is not None:
+                feats = np.asarray(result["features"])
+                for i in np.nonzero(valid)[0]:
+                    L = min(int(lengths[i]), label_src.shape[1])
+                    features.append(feats[i, :L])
+                    feature_labels.append(label_src[i, :L])
 
     info = {
         "loss": float(np.mean(losses)) if losses else float("nan"),

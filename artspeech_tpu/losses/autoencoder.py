@@ -103,12 +103,24 @@ def critical_loss(
     return jnp.sum(per_tv * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def offdiag_cov_penalty(latents, indices_dict: Dict[str, Sequence[int]]):
+def offdiag_cov_penalty(latents, indices_dict: Dict[str, Sequence[int]], valid=None):
     """Sum over articulator blocks of squared off-diagonal covariance
-    entries (reference losses.py:275-283)."""
-    n = latents.shape[0]
-    centered = latents - jnp.mean(latents, axis=0, keepdims=True)
-    cov = centered.T @ centered / jnp.maximum(n - 1, 1)  # (L, L)
+    entries (reference losses.py:275-283).
+
+    Args:
+        valid: optional (B,) 0/1 mask — zero-padded dummy rows from bucket
+            batching must not enter the covariance estimate.
+    """
+    if valid is None:
+        n = latents.shape[0]
+        centered = latents - jnp.mean(latents, axis=0, keepdims=True)
+        cov = centered.T @ centered / jnp.maximum(n - 1, 1)  # (L, L)
+    else:
+        v = valid.astype(latents.dtype)[:, None]
+        n = jnp.maximum(jnp.sum(v), 1.0)
+        mean = jnp.sum(latents * v, axis=0, keepdims=True) / n
+        centered = (latents - mean) * v
+        cov = centered.T @ centered / jnp.maximum(n - 1.0, 1.0)
     total = jnp.asarray(0.0, latents.dtype)
     for _, idx in indices_dict.items():
         if len(idx) <= 1:
@@ -131,11 +143,16 @@ def regularized_latents_mse_loss(
 
     Args:
         outputs/targets: (B, Nart, F); latents: (B, L);
-        sample_weights: (B,).
+        sample_weights: (B,). Zero-weight rows (bucket-padding dummies) are
+            excluded from BOTH the MSE denominator and the covariance.
     """
     sq = (outputs - targets) ** 2
     if sample_weights is not None:
         sq = sq * sample_weights[:, None, None]
+        valid = (sample_weights > 0).astype(sq.dtype)
+        n_rows = jnp.maximum(jnp.sum(valid), 1.0)
+        mse = jnp.sum(sq) / (n_rows * sq.shape[1] * sq.shape[2])
+        return mse + alpha * offdiag_cov_penalty(latents, indices_dict, valid)
     mse = jnp.mean(sq)
     return mse + alpha * offdiag_cov_penalty(latents, indices_dict)
 

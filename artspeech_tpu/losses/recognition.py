@@ -39,12 +39,14 @@ def ctc_loss(log_probs, targets, input_lengths, target_lengths, blank_id: int = 
         label_paddings,
         blank_id=blank_id,
     )
-    # Match torch's default reduction="mean": per-sequence loss divided by
-    # target length, then batch-averaged; zero_infinity guards the rest.
+    # Match torch's reduction="mean" + zero_infinity: per-sequence loss
+    # divided by target length, non-finite losses zeroed but still counted,
+    # averaged over REAL sequences (zero-length bucket-padding dummies are
+    # excluded from the denominator).
     per_seq = per_seq / jnp.maximum(target_lengths.astype(per_seq.dtype), 1.0)
-    finite = jnp.isfinite(per_seq)
-    per_seq = jnp.where(finite, per_seq, 0.0)
-    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(finite.astype(per_seq.dtype)), 1.0)
+    valid = (target_lengths > 0).astype(per_seq.dtype)
+    per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0) * valid
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def load_class_weights(filepath: str, num_classes: int) -> jnp.ndarray:

@@ -93,6 +93,8 @@ def make_latent_rnn_synthesis_forward(
         shapes = decode_fn(rescale_factor * latents)  # (B, T, Nart, 2*D)
         b, t, n_art, _ = shapes.shape
         shapes = shapes.reshape(b, t, n_art, 2, d)
+        if denorm_mean is None:
+            return shapes
         return shapes * denorm_std + denorm_mean
 
     return forward

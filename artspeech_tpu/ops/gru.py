@@ -22,6 +22,18 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def torch_rnn_init(hidden_size: int):
+    """torch nn.GRU/nn.LSTM initialization: every parameter ~ U(-k, k) with
+    k = 1/sqrt(hidden_size). flax's ``initializers.uniform(scale)`` samples
+    [0, scale) — all-positive — which biases gates toward saturation."""
+    bound = 1.0 / (hidden_size**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class GRULayer(nn.Module):
     """Single-direction masked GRU over (B, T, E) -> (B, T, H)."""
 
@@ -45,16 +57,11 @@ class GRULayer(nn.Module):
         hidden = self.hidden_size
         dtype = self.dtype or x.dtype
 
-        scale_i = 1.0 / (in_features**0.5)
-        scale_h = 1.0 / (hidden**0.5)
-        w_i = self.param(
-            "wi", nn.initializers.uniform(scale=2 * scale_i), (in_features, 3 * hidden)
-        )
-        b_i = self.param("bi", nn.initializers.zeros, (3 * hidden,))
-        w_h = self.param(
-            "wh", nn.initializers.uniform(scale=2 * scale_h), (hidden, 3 * hidden)
-        )
-        b_h = self.param("bh", nn.initializers.zeros, (3 * hidden,))
+        init = torch_rnn_init(hidden)
+        w_i = self.param("wi", init, (in_features, 3 * hidden))
+        b_i = self.param("bi", init, (3 * hidden,))
+        w_h = self.param("wh", init, (hidden, 3 * hidden))
+        b_h = self.param("bh", init, (3 * hidden,))
 
         # One big MXU matmul for every timestep's input projection.
         x_proj = x.astype(dtype) @ w_i.astype(dtype) + b_i.astype(dtype)
@@ -163,16 +170,11 @@ class LSTMLayer(nn.Module):
         hidden = self.hidden_size
         dtype = self.dtype or x.dtype
 
-        scale_i = 1.0 / (in_features**0.5)
-        scale_h = 1.0 / (hidden**0.5)
-        w_i = self.param(
-            "wi", nn.initializers.uniform(scale=2 * scale_i), (in_features, 4 * hidden)
-        )
-        b_i = self.param("bi", nn.initializers.zeros, (4 * hidden,))
-        w_h = self.param(
-            "wh", nn.initializers.uniform(scale=2 * scale_h), (hidden, 4 * hidden)
-        )
-        b_h = self.param("bh", nn.initializers.zeros, (4 * hidden,))
+        init = torch_rnn_init(hidden)
+        w_i = self.param("wi", init, (in_features, 4 * hidden))
+        b_i = self.param("bi", init, (4 * hidden,))
+        w_h = self.param("wh", init, (hidden, 4 * hidden))
+        b_h = self.param("bh", init, (4 * hidden,))
 
         x_proj = x.astype(dtype) @ w_i.astype(dtype) + b_i.astype(dtype)
         if self.reverse:

@@ -22,19 +22,28 @@ from artspeech_tpu.losses.autoencoder import (
 from artspeech_tpu.ops.distances import mean_p2cp
 
 
-def reconstruction_p2cp_mm(recon, targets, denorm_mean, denorm_std, to_mm):
+def reconstruction_p2cp_mm(recon, targets, denorm_mean, denorm_std, to_mm, weights=None):
     """AE reconstruction error in mm (reference
     train_principal_components_autoencoder.py:40-64 ``reconstruction_error``).
 
     Args:
         recon/targets: (B, Nart, 2 * n_samples) normalized flat contours.
+        weights: optional (B,) sample weights; zero-weight rows (bucket
+            padding, whose p2cp is trivially 0) are excluded from the mean.
     """
     b, n_art, flat = recon.shape
     n_samples = flat // 2
     r = recon.reshape(b, n_art, 2, n_samples) * denorm_std + denorm_mean
     t = targets.reshape(b, n_art, 2, n_samples) * denorm_std + denorm_mean
-    p2cp = mean_p2cp(jnp.swapaxes(r, -1, -2), jnp.swapaxes(t, -1, -2))
-    return jnp.mean(p2cp) * to_mm
+    p2cp = mean_p2cp(jnp.swapaxes(r, -1, -2), jnp.swapaxes(t, -1, -2))  # (B, Nart)
+    if weights is None:
+        return jnp.mean(p2cp) * to_mm
+    valid = (weights > 0).astype(p2cp.dtype)
+    return (
+        jnp.sum(p2cp * valid[:, None])
+        / jnp.maximum(jnp.sum(valid) * n_art, 1.0)
+        * to_mm
+    )
 
 
 def make_autoencoder_train_step(
@@ -68,7 +77,8 @@ def make_autoencoder_train_step(
         metrics = {
             "loss": loss,
             "p2cp_mm": reconstruction_p2cp_mm(
-                recon, batch["inputs"], denorm_mean, denorm_std, to_mm
+                recon, batch["inputs"], denorm_mean, denorm_std, to_mm,
+                weights=batch["weights"],
             ),
         }
         return state, metrics
@@ -88,7 +98,8 @@ def make_autoencoder_eval_step(
         metrics = {
             "loss": loss,
             "p2cp_mm": reconstruction_p2cp_mm(
-                recon, batch["inputs"], denorm_mean, denorm_std, to_mm
+                recon, batch["inputs"], denorm_mean, denorm_std, to_mm,
+                weights=batch["weights"],
             ),
         }
         return metrics, (recon, latents)

@@ -140,9 +140,9 @@ def make_transformer_train_step(to_mm: float, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_transformer_eval_step(to_mm: float, teacher_forced: bool = True):
-    """Eval step; teacher-forced for the valid loop (fast), autoregressive
-    handled by the test harness via model.generate."""
+def make_transformer_eval_step(to_mm: float):
+    """Teacher-forced eval step for the valid loop (fast); autoregressive
+    evaluation is done by the test harness via model.generate."""
 
     def eval_step(state, batch):
         tgt_in = shift_targets_right(batch["targets"])

@@ -275,3 +275,30 @@ def test_nomograms():
     noms = nomograms(decode_fn, latent, indices, denorm_mean, denorm_std)
     assert set(noms.keys()) == set(range(latent))
     assert noms[0].shape == (9, len(ARTS), 2, IN_F // 2)
+
+
+def test_regularized_latents_loss_ignores_dummy_rows():
+    from artspeech_tpu.losses.autoencoder import regularized_latents_mse_loss
+    from artspeech_tpu.train.pc_step import reconstruction_p2cp_mm
+
+    d = normalize_indices_dict(INDICES)
+    rng = np.random.default_rng(0)
+    out = jnp.asarray(rng.normal(size=(4, 3, 8)).astype(np.float32))
+    lat = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(4, 3, 8)).astype(np.float32))
+    w = jnp.asarray([1.0, 3.0, 0.1, 1.0])
+    full = regularized_latents_mse_loss(out, lat, tgt, d, alpha=0.1, sample_weights=w)
+
+    pad = lambda x: jnp.concatenate([x, jnp.zeros_like(x)], axis=0)
+    padded = regularized_latents_mse_loss(
+        pad(out), pad(lat), pad(tgt), d, alpha=0.1, sample_weights=pad(w)
+    )
+    np.testing.assert_allclose(float(padded), float(full), rtol=1e-5)
+
+    m = jnp.zeros((3, 2, 4))
+    s = jnp.ones((3, 2, 4))
+    r_full = reconstruction_p2cp_mm(out, tgt, m, s, to_mm=1.0, weights=w)
+    r_padded = reconstruction_p2cp_mm(
+        pad(out), pad(tgt), m, s, to_mm=1.0, weights=pad(w)
+    )
+    np.testing.assert_allclose(float(r_padded), float(r_full), rtol=1e-5)

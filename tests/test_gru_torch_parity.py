@@ -98,3 +98,21 @@ def test_lstm_layer_matches_torch():
     mask = jnp.ones((B, T), bool)
     out = layer.apply({"params": params}, jnp.asarray(x.numpy()), mask)
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_torch_rnn_init_symmetric():
+    """Weights/biases init ~ U(-1/sqrt(H), 1/sqrt(H)) like torch, not [0, s)."""
+    import jax
+
+    from artspeech_tpu.ops.gru import GRULayer
+
+    layer = GRULayer(hidden_size=64)
+    params = layer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 32)), jnp.ones((1, 4), bool)
+    )["params"]
+    bound = 1.0 / 8.0
+    for name in ("wi", "wh", "bi", "bh"):
+        w = np.asarray(params[name])
+        assert w.min() < -bound * 0.5, name  # negative mass present
+        assert abs(w.mean()) < bound * 0.2, name  # roughly zero-centered
+        assert np.abs(w).max() <= bound + 1e-6, name

@@ -345,3 +345,21 @@ def test_macro_f1_and_auroc():
     assert macro_auroc(probs, tgts2, num_classes=2) == pytest.approx(1.0)
     probs_bad = probs[::-1]
     assert macro_auroc(probs_bad, tgts2, num_classes=2) == pytest.approx(0.0)
+
+
+def test_ctc_loss_ignores_dummy_rows():
+    """Zero-length padded sequences must not dilute the CTC batch mean."""
+    from artspeech_tpu.losses.recognition import ctc_loss
+
+    rng = np.random.default_rng(0)
+    B, T, K, N = 2, 10, 6, 4
+    logits = rng.normal(size=(B, T, K)).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    targets = jnp.asarray(rng.integers(1, K, (B, N)), jnp.int32)
+    full = ctc_loss(lp, targets, jnp.asarray([10, 8]), jnp.asarray([4, 3]))
+    lp_pad = jnp.concatenate([lp, jnp.zeros_like(lp)], axis=0)
+    tg_pad = jnp.concatenate([targets, jnp.zeros_like(targets)], axis=0)
+    padded = ctc_loss(
+        lp_pad, tg_pad, jnp.asarray([10, 8, 0, 0]), jnp.asarray([4, 3, 0, 0])
+    )
+    np.testing.assert_allclose(float(padded), float(full), rtol=1e-5)
