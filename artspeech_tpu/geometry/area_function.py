@@ -14,6 +14,7 @@ contour -> tube -> area-function synthesis path runs as one compiled program.
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,20 +25,11 @@ def _cross2(a, b):
     return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
 
 
-def intersect_lines_with_wall(line_p0, line_p1, wall):
-    """Intersect straight grid lines with a wall polyline.
+def _wall_crossings(line_p0, line_p1, wall):
+    """All grid-line/wall-segment crossings.
 
-    Args:
-        line_p0: (L, 2) grid-line internal endpoints.
-        line_p1: (L, 2) grid-line external endpoints.
-        wall: (W, 2) wall polyline.
-    Returns:
-        points: (L, 2) intersection point per line. If a line does not cross
-            the wall, the closest wall vertex to the line segment is returned
-            (the reference falls back to wall endpoints in that case,
-            area_function.py:200-221).
-        hit: (L,) bool, True where a true intersection exists.
-        t: (L,) parameter along the grid line of the returned point.
+    Returns (points (L, S, 2), valid (L, S), t (L, S)) for every
+    (line, wall-segment) pair; invalid entries hold arbitrary points.
     """
     q0 = wall[:-1]  # (S, 2)
     e = wall[1:] - wall[:-1]  # (S, 2)
@@ -55,51 +47,120 @@ def intersect_lines_with_wall(line_p0, line_p1, wall):
         & (u >= 0.0)
         & (u <= 1.0)
     )
+    points = line_p0[:, None, :] + t[..., None] * d  # (L, S, 2)
+    return points, valid, t
 
-    # Pick the valid intersection closest to the internal end (smallest t).
+
+def _nearest_wall_vertex(line_p0, line_p1, wall):
+    """Closest wall vertex to each grid-line segment (clamped projection)."""
+    ap = wall[None, :, :] - line_p0[:, None, :]  # (L, W, 2)
+    seg = line_p1 - line_p0
+    dd = jnp.sum(seg**2, axis=-1)[:, None]
+    tproj = jnp.clip(
+        jnp.sum(ap * seg[:, None, :], axis=-1) / jnp.maximum(dd, 1e-12), 0.0, 1.0
+    )
+    foot = line_p0[:, None, :] + tproj[..., None] * seg[:, None, :]
+    dist = jnp.sum((wall[None, :, :] - foot) ** 2, axis=-1)
+    return wall[jnp.argmin(dist, axis=1)]  # (L, 2)
+
+
+def intersect_lines_with_wall(line_p0, line_p1, wall):
+    """Single-wall intersection (smallest-t crossing; vertex fallback).
+
+    Kept for callers that only need one wall; the paired semipolar-grid
+    matching below follows the reference's mutual-nearest rule instead.
+
+    Returns:
+        (points (L, 2), hit (L,) bool, t (L,)).
+    """
+    points, valid, t = _wall_crossings(line_p0, line_p1, wall)
     t_masked = jnp.where(valid, t, jnp.inf)
-    best = jnp.argmin(t_masked, axis=1)  # (L,)
+    best = jnp.argmin(t_masked, axis=1)
     hit = jnp.any(valid, axis=1)
     t_best = jnp.take_along_axis(t_masked, best[:, None], axis=1)[:, 0]
     points_hit = line_p0 + jnp.where(hit, t_best, 0.0)[:, None] * (line_p1 - line_p0)
-
-    # Fallback: closest wall vertex to the grid line segment (clamped projection).
-    ap = wall[None, :, :] - line_p0[:, None, :]  # (L, W, 2)
-    dd = jnp.sum((line_p1 - line_p0) ** 2, axis=-1)[:, None]  # (L, 1)
-    tproj = jnp.clip(
-        jnp.sum(ap * (line_p1 - line_p0)[:, None, :], axis=-1)
-        / jnp.maximum(dd, 1e-12),
-        0.0,
-        1.0,
-    )  # (L, W)
-    foot = line_p0[:, None, :] + tproj[..., None] * (line_p1 - line_p0)[:, None, :]
-    dist = jnp.sum((wall[None, :, :] - foot) ** 2, axis=-1)  # (L, W)
-    nearest = jnp.argmin(dist, axis=1)
-    points_near = wall[nearest]
-    t_near = jnp.take_along_axis(tproj, nearest[:, None], axis=1)[:, 0]
-
-    points = jnp.where(hit[:, None], points_hit, points_near)
-    t_out = jnp.where(hit, t_best, t_near)
-    return points, hit, t_out
+    points_near = _nearest_wall_vertex(line_p0, line_p1, wall)
+    points_out = jnp.where(hit[:, None], points_hit, points_near)
+    t_out = jnp.where(hit, t_best, 0.0)
+    return points_out, hit, t_out
 
 
 def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid):
-    """Intersect both walls with every grid line.
+    """Intersect both walls with every grid line, pairing crossings by the
+    reference's rules (area_function.py:176-223):
+
+    - both walls crossed: the MUTUALLY NEAREST pair of crossings (a wall
+      crossed twice pairs the crossing closest to the other wall);
+    - one wall crossed: its crossing nearest to the other wall's endpoints,
+      the other wall contributing that endpoint;
+    - neither crossed: the line is INVALID (the reference skips it) — the
+      returned points are nearest-vertex placeholders and ``valid`` is False
+      so downstream code can mask the section out.
 
     Args:
-        internal_wall: (W, 2); external_wall: (W, 2).
-        semipolar_grid: (L, R, 2) grid-line samples (only the endpoints are
-            used — the lines are straight).
+        internal_wall, external_wall: (W, 2) polylines.
+        semipolar_grid: (L, R, 2) grid-line samples (endpoints used).
     Returns:
-        internal_pts: (L, 2); external_pts: (L, 2); valid: (L,) bool, True
-        where at least one wall truly intersects the line (mirrors the
-        reference skipping no-contact lines, area_function.py:185-186).
+        (internal_pts (L, 2), external_pts (L, 2), valid (L,) bool).
     """
     p0 = semipolar_grid[:, 0, :]
     p1 = semipolar_grid[:, -1, :]
-    internal_pts, hit_int, _ = intersect_lines_with_wall(p0, p1, internal_wall)
-    external_pts, hit_ext, _ = intersect_lines_with_wall(p0, p1, external_wall)
-    valid = hit_int | hit_ext
+
+    pts_i, val_i, _ = _wall_crossings(p0, p1, internal_wall)  # (L, Si, 2)
+    pts_e, val_e, _ = _wall_crossings(p0, p1, external_wall)
+
+    big = jnp.inf
+    # Mutual-nearest crossing pair per line: (L, Si, Se) distances.
+    dmat = jnp.sum((pts_i[:, :, None, :] - pts_e[:, None, :, :]) ** 2, axis=-1)
+    dmat = jnp.where(val_i[:, :, None] & val_e[:, None, :], dmat, big)
+    n_se = dmat.shape[2]
+    flat = dmat.reshape(dmat.shape[0], -1)
+    arg = jnp.argmin(flat, axis=1)
+    int_pair = jnp.take_along_axis(pts_i, (arg // n_se)[:, None, None], axis=1)[:, 0]
+    ext_pair = jnp.take_along_axis(pts_e, (arg % n_se)[:, None, None], axis=1)[:, 0]
+
+    def one_wall(pts, val, other_wall):
+        # Crossing nearest to the other wall's {first, last} endpoints; the
+        # other wall contributes that endpoint (reference :200-221).
+        endpoints = jnp.stack([other_wall[0], other_wall[-1]])  # (2, 2)
+        d = jnp.sum((pts[:, :, None, :] - endpoints[None, None]) ** 2, axis=-1)
+        d = jnp.where(val[:, :, None], d, big)  # (L, S, 2)
+        a = jnp.argmin(d.reshape(d.shape[0], -1), axis=1)
+        own = jnp.take_along_axis(pts, (a // 2)[:, None, None], axis=1)[:, 0]
+        other = endpoints[a % 2]
+        return own, other
+
+    int_only_own, int_only_other = one_wall(pts_i, val_i, external_wall)
+    ext_only_own, ext_only_other = one_wall(pts_e, val_e, internal_wall)
+
+    hit_i = jnp.any(val_i, axis=1)
+    hit_e = jnp.any(val_e, axis=1)
+    both = hit_i & hit_e
+    only_i = hit_i & ~hit_e
+    only_e = hit_e & ~hit_i
+    valid = hit_i | hit_e
+
+    near_i = _nearest_wall_vertex(p0, p1, internal_wall)
+    near_e = _nearest_wall_vertex(p0, p1, external_wall)
+
+    internal_pts = jnp.where(
+        both[:, None],
+        int_pair,
+        jnp.where(
+            only_i[:, None],
+            int_only_own,
+            jnp.where(only_e[:, None], ext_only_other, near_i),
+        ),
+    )
+    external_pts = jnp.where(
+        both[:, None],
+        ext_pair,
+        jnp.where(
+            only_e[:, None],
+            ext_only_own,
+            jnp.where(only_i[:, None], int_only_other, near_e),
+        ),
+    )
     return internal_pts, external_pts, valid
 
 
@@ -141,7 +202,6 @@ def evenly_spaced_fx(x, fx, n_samples: int = 200):
     output layout (area_function.py:145-159) but via monotone interpolation
     instead of shapely line intersections.
     """
-    x = x + jnp.arange(x.shape[0], dtype=x.dtype) * 1e-9  # enforce monotone
     xs = jnp.linspace(x[0], x[-1], n_samples)
     vals = interp1d(xs, x, fx)
     return jnp.stack([xs, vals], axis=0)
@@ -166,8 +226,25 @@ def tube_area_function(
         (2, n_samples) evenly spaced (position, area) samples.
     """
     if semipolar_grid is not None:
-        internal_wall, external_wall, _ = intersect_semipolar_grid(
+        internal_wall, external_wall, valid = intersect_semipolar_grid(
             internal_wall, external_wall, jnp.asarray(semipolar_grid)
         )
+        # The reference SKIPS grid lines that touch neither wall
+        # (area_function.py:185-186). Dynamic removal is not static-shape
+        # friendly; instead each invalid line collapses onto the nearest
+        # valid line (forward fill, backfilled at the head), giving it a
+        # zero-length midline step and a duplicated fx sample — which the
+        # even resampling treats exactly like a removed section.
+        l = internal_wall.shape[0]
+        idx = jnp.where(valid, jnp.arange(l), -1)
+        fwd = jax.lax.associative_scan(jnp.maximum, idx)  # last valid <= i
+        bwd = jnp.flip(
+            jax.lax.associative_scan(
+                jnp.maximum, jnp.where(jnp.flip(valid), jnp.arange(l - 1, -1, -1), -1)
+            )
+        )  # first valid >= i
+        take = jnp.where(fwd >= 0, fwd, jnp.maximum(bwd, 0))
+        internal_wall = internal_wall[take]
+        external_wall = external_wall[take]
     dists, fx = area_function(internal_wall, external_wall, alpha=alpha, beta=beta)
     return evenly_spaced_fx(dists, fx, n_samples=n_samples)

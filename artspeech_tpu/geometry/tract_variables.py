@@ -19,7 +19,7 @@ from artspeech_tpu.core.constants import (
     UPPER_INCISOR,
     UPPER_LIP,
 )
-from artspeech_tpu.ops.distances import pairwise_distances
+from artspeech_tpu.ops.distances import min_distance
 
 #: Sub-contour index windows (reference tract_variables.py:13-20).
 ART_SLICES = {
@@ -41,13 +41,7 @@ def _min_pair(arr1, arr2):
         value (...,), poc_1 (..., 2), poc_2 (..., 2) — the two places of
         constriction. Batched version of reference tract_variables.py:23-35.
     """
-    d = pairwise_distances(arr1, arr2)
-    n, m = d.shape[-2], d.shape[-1]
-    flat = d.reshape(*d.shape[:-2], n * m)
-    arg = jnp.argmin(flat, axis=-1)
-    value = jnp.min(flat, axis=-1)
-    i1 = arg // m
-    i2 = arg % m
+    value, i1, i2 = min_distance(arr1, arr2)
     poc_1 = jnp.take_along_axis(arr1, i1[..., None, None], axis=-2)[..., 0, :]
     poc_2 = jnp.take_along_axis(arr2, i2[..., None, None], axis=-2)[..., 0, :]
     return value, poc_1, poc_2

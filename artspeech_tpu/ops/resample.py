@@ -70,8 +70,9 @@ def arclength_resample(points, n_out: int):
     seg = points[1:] - points[:-1]
     seglen = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, axis=-1), 0.0))
     s = jnp.concatenate([jnp.zeros((1,), points.dtype), jnp.cumsum(seglen)])
-    # Guard against duplicate vertices producing non-increasing s.
-    s = s + jnp.arange(s.shape[0], dtype=points.dtype) * 1e-9
+    # Duplicate vertices give zero-width segments in s; interp1d's
+    # x1 > x0 guard handles them (a sub-eps additive nudge would be a no-op
+    # in float32).
     s_new = jnp.linspace(s[0], s[-1], n_out)
     xs = interp1d(s_new, s, points[:, 0])
     ys = interp1d(s_new, s, points[:, 1])

@@ -14,6 +14,7 @@ regularization, incisor injection, vocal-tract tube walls — runs as one
 jitted XLA program per bucket; the host only writes npy/txt files.
 """
 
+import logging
 import os
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -29,6 +30,8 @@ from artspeech_tpu.geometry.tube import generate_vocal_tract_tube_batch
 from artspeech_tpu.ops.bspline import regularize_bsplines
 from artspeech_tpu.synth.reference_contour import CANONICAL_UPPER_INCISOR
 from artspeech_tpu.utils.io import npy_to_xarticul
+
+logger = logging.getLogger(__name__)
 
 
 class SynthesisDataset:
@@ -146,7 +149,23 @@ def synthesize_corpus(
         forward_fn, dataset.articulators, regularize_outputs
     )
 
-    order = sorted(range(len(dataset)), key=lambda i: dataset[i]["length"])
+    # Sort on the raw collector records (building a dataset item per sort
+    # key would double the host preprocessing).
+    order = sorted(
+        range(len(dataset)), key=lambda i: len(dataset.data[i]["phonemes"])
+    )
+    max_len = max(
+        (len(dataset.data[i]["phonemes"]) for i in order), default=0
+    )
+    if buckets and max_len > max(buckets):
+        # pick_bucket would silently TRUNCATE longer sentences; extend the
+        # bucket list instead (one extra compile, full-length output).
+        extended = ((max_len + 63) // 64) * 64
+        logger.warning(
+            "Longest sentence (%d frames) exceeds the largest bucket (%d); "
+            "adding a %d-frame bucket.", max_len, max(buckets), extended,
+        )
+        buckets = tuple(buckets) + (extended,)
     written = []
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]

@@ -1,6 +1,7 @@
 """Tests for tract variables, tube generation and the area function."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from artspeech_tpu.core.constants import (
@@ -122,3 +123,76 @@ def test_intersect_semipolar_grid_hits_walls():
     # Lines that crossed both arcs recover the radii.
     assert (np.abs(r_int - 0.1) < 0.02).mean() > 0.5
     assert (np.abs(r_ext - 0.3) < 0.02).mean() > 0.5
+
+
+def test_intersect_semipolar_grid_mutual_nearest():
+    """Reference pairing rules (area_function.py:176-223): a doubly-crossed
+    wall pairs the crossing closest to the other wall's crossing."""
+    import jax.numpy as jnp
+    from artspeech_tpu.geometry.area_function import intersect_semipolar_grid
+
+    # Grid line along x from (0,0) to (10,0).
+    grid = np.zeros((1, 2, 2), np.float32)
+    grid[0, 0] = [0.0, 0.0]
+    grid[0, 1] = [10.0, 0.0]
+    # internal wall zig-zags across y=0 at x=2 and x=6
+    internal = np.array([[2.0, -1.0], [2.0, 1.0], [6.0, 1.0], [6.0, -1.0]], np.float32)
+    # external wall crosses once at x=7
+    external = np.array([[7.0, -1.0], [7.0, 1.0]], np.float32)
+    ipts, epts, valid = intersect_semipolar_grid(
+        jnp.asarray(internal), jnp.asarray(external), jnp.asarray(grid)
+    )
+    assert bool(valid[0])
+    assert float(ipts[0, 0]) == pytest.approx(6.0, abs=1e-5)  # NOT 2.0
+    assert float(epts[0, 0]) == pytest.approx(7.0, abs=1e-5)
+
+
+def test_intersect_semipolar_grid_invalid_lines_masked():
+    """Lines touching neither wall are flagged invalid; tube_area_function
+    collapses them instead of fabricating sections."""
+    import jax.numpy as jnp
+    from artspeech_tpu.geometry.area_function import (
+        intersect_semipolar_grid,
+        tube_area_function,
+    )
+
+    grid = np.zeros((3, 2, 2), np.float32)
+    grid[0] = [[0, 0], [0, 10]]    # crosses both walls at x=0
+    grid[1] = [[5, 0], [5, 10]]    # crosses both walls at x=5
+    grid[2] = [[50, 0], [50, 10]]  # far away: crosses nothing
+    internal = np.array([[-1.0, 2.0], [6.0, 2.0]], np.float32)
+    external = np.array([[-1.0, 8.0], [6.0, 8.0]], np.float32)
+    ipts, epts, valid = intersect_semipolar_grid(
+        jnp.asarray(internal), jnp.asarray(external), jnp.asarray(grid)
+    )
+    assert valid.tolist() == [True, True, False]
+
+    af = np.asarray(
+        tube_area_function(
+            jnp.asarray(internal), jnp.asarray(external), semipolar_grid=grid,
+            n_samples=16,
+        )
+    )
+    # invalid line collapsed onto the last valid one: midline spans x=0..5
+    assert af.shape == (2, 16)
+    assert af[0, -1] == pytest.approx(5.0, abs=1e-4)
+    # every section radius = 3 -> area pi*9
+    np.testing.assert_allclose(af[1], np.pi * 9.0, rtol=1e-5)
+
+
+def test_intersect_one_wall_endpoint_fallback():
+    """Only one wall crossed: the other wall contributes its nearest
+    endpoint (reference :200-221)."""
+    import jax.numpy as jnp
+    from artspeech_tpu.geometry.area_function import intersect_semipolar_grid
+
+    grid = np.zeros((1, 2, 2), np.float32)
+    grid[0] = [[5, 0], [5, 10]]
+    internal = np.array([[0.0, 2.0], [10.0, 2.0]], np.float32)  # crossed at (5,2)
+    external = np.array([[20.0, 8.0], [30.0, 8.0]], np.float32)  # never crossed
+    ipts, epts, valid = intersect_semipolar_grid(
+        jnp.asarray(internal), jnp.asarray(external), jnp.asarray(grid)
+    )
+    assert bool(valid[0])
+    np.testing.assert_allclose(np.asarray(ipts[0]), [5.0, 2.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(epts[0]), [20.0, 8.0], atol=1e-5)  # nearest endpoint
