@@ -5,3 +5,4 @@ from artspeech_tpu.core.config import (
     mm_per_unit,
 )
 from artspeech_tpu.core.vocab import build_vocabulary, load_vocabulary, numericalize
+from artspeech_tpu.core.vocab import token_id

@@ -40,6 +40,19 @@ def load_vocabulary(
     )
 
 
+def token_id(token: str, vocabulary: Dict[str, int]) -> int:
+    """Token id with UNKNOWN fallback; raises a clear KeyError when the
+    token is OOV and the vocabulary has no UNKNOWN entry (instead of letting
+    a None id crash downstream array construction)."""
+    if token in vocabulary:
+        return vocabulary[token]
+    if UNKNOWN in vocabulary:
+        return vocabulary[UNKNOWN]
+    raise KeyError(
+        f"Token {token!r} is out of vocabulary and no {UNKNOWN!r} entry exists"
+    )
+
+
 def numericalize(
     tokens: Iterable[str],
     vocabulary: Dict[str, int],

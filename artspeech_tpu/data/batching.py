@@ -9,9 +9,12 @@ metrics in this framework are padding-mask aware, so dummies contribute
 nothing.
 """
 
+import logging
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512)
 
@@ -110,6 +113,15 @@ class BucketedLoader:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _length(self, i: int) -> int:
+        # Collector metadata gives the length for free; materializing the
+        # item (full contour IO) just to read one int would force the whole
+        # dataset to load before the first batch.
+        data = getattr(self.dataset, "data", None)
+        if data is not None and "frame_ids" in data[i]:
+            return len(data[i]["frame_ids"])
+        return self._get(i)["length"]
+
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -117,10 +129,23 @@ class BucketedLoader:
             rng.shuffle(order)
         self._epoch += 1
 
+        lengths = [self._length(i) for i in order]
+        buckets = self.buckets
+        max_len = max(lengths, default=0)
+        if buckets and max_len > buckets[-1]:
+            # Never silently truncate: extend the bucket list (one extra
+            # compile) and say so.
+            extended = ((max_len + 63) // 64) * 64
+            logger.warning(
+                "Longest sentence (%d frames) exceeds the largest bucket "
+                "(%d); adding a %d-frame bucket.",
+                max_len, buckets[-1], extended,
+            )
+            buckets = buckets + (extended,)
+
         by_bucket: Dict[int, List[int]] = {}
-        lengths = [self._get(i)["length"] for i in order]
         for i, L in zip(order, lengths):
-            by_bucket.setdefault(pick_bucket(L, self.buckets), []).append(int(i))
+            by_bucket.setdefault(pick_bucket(L, buckets), []).append(int(i))
 
         for bucket in sorted(by_bucket):
             indices = by_bucket[bucket]

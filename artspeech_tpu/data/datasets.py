@@ -11,7 +11,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from artspeech_tpu.core.config import DATASET_CONFIG
-from artspeech_tpu.core.constants import UNKNOWN
+from artspeech_tpu.core.vocab import token_id
 from artspeech_tpu.data.collectors import DATABASE_COLLECTORS
 from artspeech_tpu.data.loaders import prepare_articulator_array
 
@@ -90,9 +90,8 @@ class ArtSpeechDataset:
         targets = np.stack(frames, axis=0).astype(np.float32)  # (T, Nart, 2, D)
         reference_arrays = np.stack(references, axis=0).astype(np.float32)
 
-        unk = self.vocabulary.get(UNKNOWN)
         token_ids = np.array(
-            [self.vocabulary.get(token, unk) for token in tokens], dtype=np.int32
+            [token_id(token, self.vocabulary) for token in tokens], dtype=np.int32
         )
         voicing = np.array(
             [float(token in self.voiced_tokens) for token in tokens], dtype=np.float32

@@ -15,8 +15,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from artspeech_tpu.core.config import DATASET_CONFIG
-from artspeech_tpu.core.constants import UNKNOWN
-from artspeech_tpu.data.batching import pad_to, pick_bucket
+from artspeech_tpu.core.vocab import token_id
 from artspeech_tpu.data.collectors import DATABASE_COLLECTORS
 from artspeech_tpu.data.loaders import prepare_articulator_array
 
@@ -254,9 +253,8 @@ class PrincipalComponentsDataset:
             frames.append(np.stack(arts))
             references.append(ref[None])
 
-        unk = self.vocabulary.get(UNKNOWN)
         token_ids = np.array(
-            [self.vocabulary.get(t, unk) for t in tokens], np.int32
+            [token_id(t, self.vocabulary) for t in tokens], np.int32
         )
         tvs = sorted(self.TV_to_phoneme_map.keys())
         if tvs:

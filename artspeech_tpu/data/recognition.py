@@ -21,11 +21,11 @@ import numpy as np
 from artspeech_tpu.core.config import DATASET_CONFIG, DatasetConfig
 from artspeech_tpu.core.constants import (
     RECOGNITION_ARTICULATORS,
-    UNKNOWN,
     UPPER_INCISOR,
 )
+from artspeech_tpu.core.vocab import token_id
 from artspeech_tpu.data.audio import read_wav
-from artspeech_tpu.data.batching import pad_to, pick_bucket
+from artspeech_tpu.data.batching import pick_bucket
 from artspeech_tpu.data.collectors import DATABASE_COLLECTORS
 from artspeech_tpu.data.loaders import (
     VocalTractShapeLoader,
@@ -83,6 +83,15 @@ class PhonemeRecognitionDataset:
         if tmp_dir is not None:
             save_audio_dir = os.path.join(tmp_dir, "audios")
             os.makedirs(save_audio_dir, exist_ok=True)
+        elif MELSPEC in self.features:
+            # Without per-sentence wav extraction the item would load the
+            # FULL sequence recording while acoustic targets assume
+            # sentence-relative times — silently misaligned. Fail fast.
+            raise ValueError(
+                "features=[melspec] requires tmp_dir so collectors can slice "
+                "per-sentence wavs (reference passes TMP_DIR, "
+                "train_phoneme_recognition.py:143)."
+            )
         collector = DATABASE_COLLECTORS[database_name](datadir, save_audio_dir)
         self.data = collector.collect_data(sequences)
         self.vocal_tract_loader = VocalTractShapeLoader(
@@ -126,7 +135,6 @@ class PhonemeRecognitionDataset:
         item = self.data[index]
         phonemes = item["phonemes"]
         frame_ids = item["frame_ids"]
-        unk = self.vocabulary.get(UNKNOWN)
         sample = {"sentence_name": item["sentence_name"]}
 
         if MELSPEC in self.features:
@@ -142,7 +150,7 @@ class PhonemeRecognitionDataset:
             acoustic = np.zeros((melspec_length,), np.int32)
             duration = item["audio_duration"]
             for phoneme, start, end in item["phonemes_with_time"]:
-                token = self.vocabulary.get(phoneme, unk)
+                token = token_id(phoneme, self.vocabulary)
                 lo = int(start * melspec_length / duration)
                 hi = int(end * melspec_length / duration)
                 acoustic[lo:hi] = token
@@ -167,7 +175,7 @@ class PhonemeRecognitionDataset:
             sample[f"{AIR_COLUMN}_length"] = t
 
         token_ids = np.array(
-            [self.vocabulary.get(p, unk) for p in phonemes], np.int32
+            [token_id(p, self.vocabulary) for p in phonemes], np.int32
         )
         sample[TARGET_ARTICULATORY] = token_ids
         sample[f"{TARGET_ARTICULATORY}_length"] = len(token_ids)
@@ -175,7 +183,7 @@ class PhonemeRecognitionDataset:
             [float(p in self.voiced_tokens) for p in phonemes], np.float32
         )
         ctc_tokens = np.array(
-            [self.vocabulary.get(p, unk) for p, _ in groupby(phonemes)], np.int32
+            [token_id(p, self.vocabulary) for p, _ in groupby(phonemes)], np.int32
         )
         sample[TARGET_CTC] = ctc_tokens
         sample[f"{TARGET_CTC}_length"] = len(ctc_tokens)
@@ -243,6 +251,61 @@ class SyntheticPhonemeRecognitionDataset(PhonemeRecognitionDataset):
                 }
             )
         return data
+
+    def __getitem__(self, index: int) -> dict:
+        """Load synthesized npys RAW — they are already in model-output
+        space (normalized, incisor-recentered); the real-corpus path's
+        1/RES scaling and re-centering would corrupt them (reference
+        synthetic_shapes.py:86-130 also loads them verbatim)."""
+        item = self.data[index]
+        phonemes = item["phonemes"]
+        frame_ids = item["frame_ids"]
+        sample = {"sentence_name": item["sentence_name"]}
+
+        base = os.path.join(self.datadir, item["subject"], item["sequence"])
+        if VOCAL_TRACT in self.features:
+            frames = []
+            for frame_id in frame_ids:
+                arts = [
+                    np.load(
+                        os.path.join(
+                            base, "inference_contours", f"{frame_id}_{a}.npy"
+                        )
+                    ).astype(np.float32)
+                    for a in self.articulators
+                ]
+                frames.append(np.stack(arts))  # (Nart, 2, D)
+            vt = np.stack(frames).transpose(2, 1, 3, 0)  # (C, Nart, D, T)
+            c, n, d, t = vt.shape
+            sample[VOCAL_TRACT] = vt.reshape(c, n * d, t)
+            sample[f"{VOCAL_TRACT}_length"] = t
+
+        if AIR_COLUMN in self.features:
+            cols = [
+                np.load(os.path.join(base, "air_column", f"{fid}.npy")).astype(
+                    np.float32
+                )
+                for fid in frame_ids
+            ]  # each (2, 2, D)
+            ac = np.stack(cols).transpose(2, 1, 3, 0)  # (C, walls, D, T)
+            c, w, d, t = ac.shape
+            sample[AIR_COLUMN] = ac.reshape(c, w * d, t)
+            sample[f"{AIR_COLUMN}_length"] = t
+
+        token_ids = np.array(
+            [token_id(p, self.vocabulary) for p in phonemes], np.int32
+        )
+        sample[TARGET_ARTICULATORY] = token_ids
+        sample[f"{TARGET_ARTICULATORY}_length"] = len(token_ids)
+        sample["voicing"] = np.array(
+            [float(p in self.voiced_tokens) for p in phonemes], np.float32
+        )
+        ctc_tokens = np.array(
+            [token_id(p, self.vocabulary) for p, _ in groupby(phonemes)], np.int32
+        )
+        sample[TARGET_CTC] = ctc_tokens
+        sample[f"{TARGET_CTC}_length"] = len(ctc_tokens)
+        return sample
 
     @staticmethod
     def sequences_from_corpus(datadir: str) -> List:
@@ -362,12 +425,22 @@ class RecognitionLoader:
         self._epoch += 1
 
         length_key = f"{self.feature}_length"
+        lengths = [self._get(int(i))[length_key] for i in order]
+        buckets = self.buckets
+        max_len = max(lengths, default=0)
+        if buckets and max_len > buckets[-1]:
+            extended = ((max_len + 63) // 64) * 64
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Longest %s sequence (%d) exceeds the largest bucket (%d); "
+                "adding a %d bucket.",
+                self.feature, max_len, buckets[-1], extended,
+            )
+            buckets = buckets + (extended,)
         by_bucket: Dict[int, List[int]] = {}
-        for i in order:
-            item = self._get(int(i))
-            by_bucket.setdefault(
-                pick_bucket(item[length_key], self.buckets), []
-            ).append(int(i))
+        for i, L in zip(order, lengths):
+            by_bucket.setdefault(pick_bucket(L, buckets), []).append(int(i))
         for bucket in sorted(by_bucket):
             indices = by_bucket[bucket]
             for start in range(0, len(indices), self.batch_size):

@@ -8,7 +8,6 @@ tract variables of predictions and targets — a single device->host transfer
 per batch instead of the reference's per-sentence ``.item()`` loops.
 """
 
-from functools import partial
 from typing import Callable, Dict, Optional, Sequence
 
 import jax

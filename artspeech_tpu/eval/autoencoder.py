@@ -14,7 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from artspeech_tpu.core.constants import UPPER_INCISOR
+from artspeech_tpu.core.constants import (
+    REQUIRED_ARTICULATORS_FOR_TVS,
+    UPPER_INCISOR,
+)
 from artspeech_tpu.eval.articulation import (
     inject_upper_incisor,
     per_sentence_metrics,
@@ -142,14 +145,20 @@ def run_latent_rnn_test(
             shapes, batch["references"], arts
         )
         merged_tgt, _ = inject_upper_incisor(targets, batch["references"], arts)
-        tvs_pred = tract_variables_from_stack(merged_out, tv_arts)
-        tvs_tgt = tract_variables_from_stack(merged_tgt, tv_arts)
+        # TVs only when every required articulator is present (reference
+        # principal_components/evaluation.py:404-412).
+        tvs_pred = tvs_tgt = {}
+        if all(a in tv_arts for a in REQUIRED_ARTICULATORS_FOR_TVS):
+            tvs_pred = tract_variables_from_stack(merged_out, tv_arts)
+            tvs_tgt = tract_variables_from_stack(merged_tgt, tv_arts)
+            tvs_pred = {k: v for k, v in tvs_pred.items() if v is not None}
+            tvs_tgt = {k: v for k, v in tvs_tgt.items() if v is not None}
         return {
             "metrics": metrics,
             "outputs": merged_out,
             "targets": merged_tgt,
-            "tvs_pred": {k: v for k, v in tvs_pred.items() if v is not None},
-            "tvs_tgt": {k: v for k, v in tvs_tgt.items() if v is not None},
+            "tvs_pred": tvs_pred,
+            "tvs_tgt": tvs_tgt,
         }
 
     tv_articulators = (
@@ -175,19 +184,20 @@ def run_latent_rnn_test(
                     name, frame_ids, outputs[i, :L], targets[i, :L],
                     phonemes, tv_articulators, outputs_dir,
                 )
-                pred_tvs = {
-                    k: {kk: np.asarray(vv)[i] for kk, vv in v.items()}
-                    for k, v in result["tvs_pred"].items()
-                }
-                tgt_tvs = {
-                    k: {kk: np.asarray(vv)[i] for kk, vv in v.items()}
-                    for k, v in result["tvs_tgt"].items()
-                }
-                save_tract_variables_csv(
-                    name,
-                    tvs_to_records(name, frame_ids, phonemes, pred_tvs, tgt_tvs),
-                    outputs_dir,
-                )
+                if result["tvs_pred"]:
+                    pred_tvs = {
+                        k: {kk: np.asarray(vv)[i] for kk, vv in v.items()}
+                        for k, v in result["tvs_pred"].items()
+                    }
+                    tgt_tvs = {
+                        k: {kk: np.asarray(vv)[i] for kk, vv in v.items()}
+                        for k, v in result["tvs_tgt"].items()
+                    }
+                    save_tract_variables_csv(
+                        name,
+                        tvs_to_records(name, frame_ids, phonemes, pred_tvs, tgt_tvs),
+                        outputs_dir,
+                    )
 
     stacked = {k: np.concatenate(v, axis=0) for k, v in acc.items()}
     info = {}

@@ -84,8 +84,12 @@ def _prefix_beam_search(logp: np.ndarray, beam_width: int, blank_id: int):
     beams = {(): (0.0, NEG)}
     for t in range(T):
         new_beams = defaultdict(lambda: (NEG, NEG))
-        # Restrict to top candidates at this frame for speed.
-        top_k = np.argsort(logp[t])[-max(beam_width, 4) :]
+        # Restrict to top candidates at this frame for speed — but ALWAYS
+        # include the blank, or live prefixes lose their "stay" transition
+        # and probability mass is misallocated.
+        top_k = list(np.argsort(logp[t])[-max(beam_width, 4) :])
+        if blank_id not in top_k:
+            top_k.append(blank_id)
         for prefix, (p_b, p_nb) in beams.items():
             p_tot = np.logaddexp(p_b, p_nb)
             for k in top_k:

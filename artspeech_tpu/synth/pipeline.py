@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from artspeech_tpu.core.config import DatasetConfig
-from artspeech_tpu.core.constants import UNKNOWN, UPPER_INCISOR
+from artspeech_tpu.core.constants import UPPER_INCISOR
+from artspeech_tpu.core.vocab import token_id
 from artspeech_tpu.data.batching import pad_to, pick_bucket
 from artspeech_tpu.data.collectors import DATABASE_COLLECTORS
 from artspeech_tpu.geometry.tube import generate_vocal_tract_tube_batch
@@ -59,12 +60,11 @@ class SynthesisDataset:
     def __getitem__(self, index: int) -> dict:
         item = self.data[index]
         tokens = item["phonemes"]
-        unk = self.vocabulary.get(UNKNOWN)
         return {
             "sentence_name": item["sentence_name"],
             "subject": item["subject"],
             "tokens": np.array(
-                [self.vocabulary.get(t, unk) for t in tokens], np.int32
+                [token_id(t, self.vocabulary) for t in tokens], np.int32
             ),
             "phonemes": list(tokens),
             "voicing": np.array(

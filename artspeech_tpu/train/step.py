@@ -7,7 +7,6 @@ artspeech_tpu.parallel.mesh). Equivalent role to reference
 train_phoneme_to_articulation.py:45-121, minus the host round trips.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax

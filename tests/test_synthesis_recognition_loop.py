@@ -83,6 +83,10 @@ def test_recognize_synthesized_corpus(synthetic_corpus_dir, feature, tmp_path):
     else:
         assert d == 2 * 100
     assert item[f"{TARGET_CTC}_length"] > 0
+    # Synthetic npys must be loaded RAW: re-normalizing by RES would collapse
+    # the dynamic range to ~1/136 of model-output space.
+    spread = float(item[feature].max() - item[feature].min())
+    assert spread > 0.05, f"degenerate synthetic {feature} features: {spread}"
 
     loader = RecognitionLoader(dataset, feature, batch_size=2, buckets=(16,), shuffle=False)
     model = DeepSpeech2(
