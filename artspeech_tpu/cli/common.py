@@ -8,6 +8,7 @@ experiments the same way.
 
 import argparse
 import os
+import time
 from typing import Callable, Dict, Optional
 
 import yaml
@@ -52,7 +53,10 @@ def run_experiment(description: str, main_fn: Callable):
     """Parse CLI, build tracker, call ``main_fn(cfg, args, tracker)``."""
     enable_compilation_cache()
     args, cfg = parse_cli(description)
-    run_dir = os.path.join(args.output_dir, args.run_name or "run")
+    # Unique default so two runs without --run_name never interleave their
+    # metrics.jsonl/params.json.
+    default_name = f"run_{time.strftime('%Y%m%d_%H%M%S')}_{os.getpid()}"
+    run_dir = os.path.join(args.output_dir, args.run_name or default_name)
     tracker = make_tracker(
         run_dir,
         mlflow_uri=args.mlflow_tracking_uri,

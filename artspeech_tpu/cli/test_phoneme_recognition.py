@@ -104,7 +104,7 @@ def main(cfg, args, tracker):
 
     class_weights = None
     if cfg.get("class_weights_filepath"):
-        class_weights = load_class_weights(cfg["class_weights_filepath"], len(vocabulary))
+        class_weights = load_class_weights(cfg["class_weights_filepath"], vocabulary)
 
     eval_step = make_recognition_eval_step(
         model,

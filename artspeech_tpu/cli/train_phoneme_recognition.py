@@ -99,7 +99,7 @@ def main(cfg, args, tracker):
     class_weights = None
     if cfg.get("class_weights_filepath"):
         class_weights = load_class_weights(
-            cfg["class_weights_filepath"], len(vocabulary)
+            cfg["class_weights_filepath"], vocabulary
         )
 
     loaders = {}
@@ -130,14 +130,17 @@ def main(cfg, args, tracker):
     from artspeech_tpu.train.recognition_step import make_feature_fn
 
     feature_fn = make_feature_fn(feature)
-    params = model.init(
-        jax.random.PRNGKey(cfg.get("seed", 0)),
-        feature_fn(sample),
-        lengths=sample["input_lengths"],
-    )["params"]
     if pretrained_params is not None:
         params = pretrained_params
+    else:
+        params = model.init(
+            jax.random.PRNGKey(cfg.get("seed", 0)),
+            feature_fn(sample),
+            lengths=sample["input_lengths"],
+        )["params"]
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if args.checkpoint_filepath:
+        state, _ = restore_checkpoint(args.checkpoint_filepath, state)
     tracker.log_params({"num_network_params": count_parameters(params)})
     print(f"DeepSpeech2 -- {count_parameters(params)} parameters")
 

@@ -106,6 +106,7 @@ def main(cfg, args, tracker):
         tracker=tracker,
         seed=seed,
         resume=args.checkpoint_filepath is not None,
+        resume_from=args.checkpoint_filepath,
     )
     print(f"Best valid p2cp_mm: {result.best_metric:.4f} @ <= epoch {result.last_epoch}")
 

@@ -93,6 +93,7 @@ def main(cfg, args, tracker):
         tracker=tracker,
         seed=seed,
         resume=args.checkpoint_filepath is not None,
+        resume_from=args.checkpoint_filepath,
     )
 
     best_state, _ = restore_checkpoint(result.best_params_dir, result.state)

@@ -186,6 +186,7 @@ def main(cfg, args, tracker):
         tracker=tracker,
         seed=cfg.get("seed", 0),
         resume=args.checkpoint_filepath is not None,
+        resume_from=args.checkpoint_filepath,
     )
 
     best_state, _ = restore_checkpoint(result.best_params_dir, result.state)

@@ -71,8 +71,10 @@ def p2cp_distance_mm(
 
 
 def euclidean_distance_mm(outputs, targets, lengths, to_mm: float):
-    """Masked mean Euclidean distance (MED) in mm, per reference
-    encoder_decoder/evaluation.py:148-157 semantics."""
+    """Masked mean Euclidean distance (MED) in mm: per-sentence mean over
+    valid frames, then mean over real sentences — the reference run_test
+    aggregation (one per-sentence value appended per batch element,
+    encoder_decoder/evaluation.py:68-84,148-157)."""
     dist = euclidean_distance(outputs, targets)  # (B, T, Nart, D)
     mask = make_padding_mask(lengths, outputs.shape[1]).astype(dist.dtype)
     per_sentence = jnp.sum(

@@ -170,7 +170,6 @@ def make_autoencoder_loss(
     denorm_mean=None,
     denorm_std=None,
     recognizer_fn: Optional[Callable] = None,
-    n_samples: int = 50,
 ):
     """Composite sequence loss (reference AutoencoderLoss2, losses.py:100-251).
 

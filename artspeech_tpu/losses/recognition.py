@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from artspeech_tpu.utils.masks import make_padding_mask
@@ -49,14 +50,27 @@ def ctc_loss(log_probs, targets, input_lengths, target_lengths, blank_id: int = 
     return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def load_class_weights(filepath: str, num_classes: int) -> jnp.ndarray:
-    """Reference metrics.py:94-105: weights JSON {token: w} sorted by token,
-    prepended with 1.0 for the unknown class; remaining classes weight 1."""
+def load_class_weights(filepath: str, vocabulary) -> jnp.ndarray:
+    """Per-class CE weights from a {token: weight} JSON, aligned to the
+    ACTUAL vocabulary ids (reference metrics.py:94-105 prepends 1.0 and
+    relies on its CE vocab being [UNKNOWN]+sorted(tokens); this repo's
+    vocabularies put BLANK at 0 and UNKNOWN at 1, so positional alignment
+    would shift every weight by one class). Tokens absent from the JSON
+    (including BLANK/UNKNOWN) weigh 1.0.
+
+    Args:
+        vocabulary: token -> id mapping (or an int class count for an
+            all-ones vector).
+    """
     with open(filepath) as f:
         class_weights = json.load(f)
-    ordered = [1.0] + [w for _, w in sorted(class_weights.items())]
-    weights = jnp.ones((num_classes,), jnp.float32)
-    return weights.at[: len(ordered)].set(jnp.asarray(ordered, jnp.float32))
+    if isinstance(vocabulary, int):
+        return jnp.ones((vocabulary,), jnp.float32)
+    weights = np.ones((max(vocabulary.values()) + 1,), np.float32)
+    for token, w in class_weights.items():
+        if token in vocabulary:
+            weights[vocabulary[token]] = float(w)
+    return jnp.asarray(weights)
 
 
 def cross_entropy_loss(

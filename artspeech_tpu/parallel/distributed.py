@@ -53,8 +53,13 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ):
-    """jax.distributed.initialize passthrough for multi-host pods; a no-op
-    when all arguments are None (single-host auto-detection via TPU env)."""
+    """jax.distributed.initialize passthrough for multi-host pods.
+
+    A true no-op when every argument is None — auto-detection raises outside
+    managed TPU/cluster environments, so single-host callers are safe.
+    Double initialization is tolerated."""
+    if coordinator_address is None and num_processes is None and process_id is None:
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -62,7 +67,11 @@ def initialize_multihost(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:
+        if "already" not in str(exc).lower():
+            raise
 
 
 def run_distributed_step(train_step, state, batch, rng, mesh):

@@ -77,12 +77,16 @@ def fit(
     tracker=None,
     seed: int = 0,
     resume: bool = False,
+    resume_from: Optional[str] = None,
     epoch_callback: Optional[Callable] = None,
 ) -> FitResult:
     """Full training run with plateau LR, early stopping and checkpoints.
 
     Layout under ``checkpoints_dir``: best/ (state at best valid metric),
     last/ (rolling resume checkpoint + aux.json scheduler state).
+    ``resume_from`` restores a specific checkpoint directory (the CLI
+    --checkpoint path, reference train_phoneme_to_articulation.py:240-249);
+    plain ``resume`` restores the rolling last/ checkpoint.
     """
     os.makedirs(checkpoints_dir, exist_ok=True)
     best_dir = os.path.join(checkpoints_dir, "best")
@@ -91,8 +95,17 @@ def fit(
     stopper = EarlyStopping(patience=patience)
     start_epoch = 0
 
-    if resume and os.path.isdir(os.path.join(last_dir, "state")):
-        state, aux = restore_checkpoint(last_dir, state)
+    restore_dir = None
+    if resume_from is not None:
+        if not os.path.isdir(os.path.join(resume_from, "state")):
+            raise FileNotFoundError(
+                f"--checkpoint path has no train state: {resume_from}"
+            )
+        restore_dir = resume_from
+    elif resume and os.path.isdir(os.path.join(last_dir, "state")):
+        restore_dir = last_dir
+    if restore_dir is not None:
+        state, aux = restore_checkpoint(restore_dir, state)
         if aux:
             start_epoch = int(aux.get("epoch", -1)) + 1
             stopper.best_metric = float(aux.get("best_metric", float("inf")))
@@ -147,6 +160,12 @@ def fit(
             epoch_callback(epoch, state, record)
         if stopper.should_stop:
             break
+
+    # A resumed run may complete zero epochs (or never improve): downstream
+    # always needs a best checkpoint in THIS run's directory.
+    if not os.path.isdir(os.path.join(best_dir, "state")):
+        save_checkpoint(best_dir, state, aux={"epoch": epoch, monitor: stopper.best_metric})
+        save_params(os.path.join(checkpoints_dir, "best_model"), state.params)
 
     return FitResult(
         state=state,

@@ -43,7 +43,14 @@ class LocalTracker:
         os.makedirs(dst_dir, exist_ok=True)
         dst = os.path.join(dst_dir, name or os.path.basename(path))
         if os.path.isdir(path):
-            if os.path.abspath(path).startswith(dst_dir):
+            src = os.path.abspath(path)
+            # Never copy the artifacts dir into itself (or an ancestor of it
+            # into it — that would recurse into our own output).
+            if (
+                src == dst_dir
+                or src.startswith(dst_dir + os.sep)
+                or dst_dir.startswith(src + os.sep)
+            ):
                 return
             shutil.copytree(path, dst, dirs_exist_ok=True)
         else:

@@ -363,3 +363,18 @@ def test_ctc_loss_ignores_dummy_rows():
         lp_pad, tg_pad, jnp.asarray([10, 8, 0, 0]), jnp.asarray([4, 3, 0, 0])
     )
     np.testing.assert_allclose(float(padded), float(full), rtol=1e-5)
+
+
+def test_class_weights_align_to_vocabulary(tmp_path):
+    """Weights map token -> id through the ACTUAL vocabulary (BLANK=0,
+    UNKNOWN=1), not positionally."""
+    import json as _json
+
+    from artspeech_tpu.core.vocab import build_vocabulary
+    from artspeech_tpu.losses.recognition import load_class_weights
+
+    vocab = build_vocabulary(["a", "b", "c"])  # BLANK=0, UNK=1, a=2, b=3, c=4
+    path = tmp_path / "weights.json"
+    path.write_text(_json.dumps({"a": 2.0, "b": 3.0}))
+    w = np.asarray(load_class_weights(str(path), vocab))
+    assert w.tolist() == [1.0, 1.0, 2.0, 3.0, 1.0]
