@@ -206,3 +206,21 @@ def test_bspline_projection_matches_scipy_lsq():
     got = np.asarray(regularize_bsplines(contour[None]))[0]
     # lam=1e-6 ridge vs exact LSQ: near-identical
     np.testing.assert_allclose(got, expected, atol=1e-3)
+
+
+def test_gru_sequence_pallas_parity():
+    """Fused Pallas GRU recurrence == GRULayer scan, incl. masking."""
+    import jax
+    from artspeech_tpu.ops.gru import GRULayer
+    from artspeech_tpu.ops.pallas_kernels import gru_sequence_pallas
+
+    B, T, E, H = 5, 11, 7, 16
+    rng = np.random.default_rng(0)
+    layer = GRULayer(hidden_size=H)
+    x = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    mask = jnp.asarray(np.arange(T)[None, :] < np.array([11, 8, 3, 1, 11])[:, None])
+    params = layer.init(jax.random.PRNGKey(0), x, mask)["params"]
+    ref = layer.apply({"params": params}, x, mask)
+    x_proj = x @ params["wi"] + params["bi"]
+    got = gru_sequence_pallas(x_proj, params["wh"], params["bh"], mask, batch_tile=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
