@@ -71,3 +71,10 @@ def set_seeds(worker_id: int = 0, base_seed: int = 0):
     seed = base_seed + worker_id
     np.random.seed(seed % (2**32 - 1))
     random.seed(seed)
+
+
+def assert_expression(expression, exception=AssertionError, message: str = ""):
+    """Raise ``exception(message)`` when the expression is falsy (reference
+    helpers.py:14-24)."""
+    if not expression:
+        raise exception(message)
