@@ -110,7 +110,7 @@ def test_ctc_loss_matches_torch():
             jnp.asarray(target_lengths),
         )
     )
-    t_logp = torch.from_numpy(np.asarray(log_probs)).permute(1, 0, 2)
+    t_logp = torch.from_numpy(np.array(log_probs)).permute(1, 0, 2)
     ref = torch.nn.CTCLoss(blank=0, zero_infinity=True)(
         t_logp,
         torch.from_numpy(targets.astype(np.int64)),

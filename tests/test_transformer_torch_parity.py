@@ -118,3 +118,70 @@ def test_channel_processing_layer_causal_mask_matches_torch():
         causal_j,
     )
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TorchEncoderLayerFixture(tnn.Module):
+    def __init__(self, ff_dim=32):
+        super().__init__()
+        self.layer = tnn.TransformerEncoderLayer(
+            d_model=E, nhead=H, dim_feedforward=ff_dim, dropout=0.0,
+            batch_first=True,
+        )
+
+    def forward(self, x):
+        return self.layer(x)
+
+
+def test_encoder_layer_matches_torch():
+    """Post-LN TransformerEncoderLayer parity with shared weights."""
+    from artspeech_tpu.models.transformer import TransformerEncoderLayer
+
+    torch.manual_seed(0)
+    fixture = TorchEncoderLayerFixture().eval()
+    tl = fixture.layer
+    x = torch.randn(2, 6, E)
+    with torch.no_grad():
+        ref = fixture(x)
+
+    head_dim = E // H
+    in_w = tl.self_attn.in_proj_weight.detach().numpy()
+    in_b = tl.self_attn.in_proj_bias.detach().numpy()
+
+    def qkv(idx):
+        return {
+            "kernel": jnp.asarray(in_w[idx * E : (idx + 1) * E].T.reshape(E, H, head_dim)),
+            "bias": jnp.asarray(in_b[idx * E : (idx + 1) * E].reshape(H, head_dim)),
+        }
+
+    params = {
+        "MultiHeadDotProductAttention_0": {
+            "query": qkv(0),
+            "key": qkv(1),
+            "value": qkv(2),
+            "out": {
+                "kernel": jnp.asarray(
+                    tl.self_attn.out_proj.weight.detach().numpy().T.reshape(H, head_dim, E)
+                ),
+                "bias": jnp.asarray(tl.self_attn.out_proj.bias.detach().numpy()),
+            },
+        },
+        "LayerNorm_0": {
+            "scale": jnp.asarray(tl.norm1.weight.detach().numpy()),
+            "bias": jnp.asarray(tl.norm1.bias.detach().numpy()),
+        },
+        "Dense_0": {
+            "kernel": jnp.asarray(tl.linear1.weight.detach().numpy().T),
+            "bias": jnp.asarray(tl.linear1.bias.detach().numpy()),
+        },
+        "Dense_1": {
+            "kernel": jnp.asarray(tl.linear2.weight.detach().numpy().T),
+            "bias": jnp.asarray(tl.linear2.bias.detach().numpy()),
+        },
+        "LayerNorm_1": {
+            "scale": jnp.asarray(tl.norm2.weight.detach().numpy()),
+            "bias": jnp.asarray(tl.norm2.bias.detach().numpy()),
+        },
+    }
+    layer = TransformerEncoderLayer(embed_dim=E, num_heads=H, ff_dim=32, dropout=0.0)
+    out = layer.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
