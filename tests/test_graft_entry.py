@@ -1,0 +1,55 @@
+"""Driver-contract tests for __graft_entry__.
+
+``test_dryrun_multichip_driver_invocation`` reproduces the driver's exact
+call pattern: a FRESH interpreter, the TPU-plugin site dir on PYTHONPATH
+(when present), no JAX_PLATFORMS/XLA_FLAGS presets, then
+``dryrun_multichip(8)``. Round 1 failed precisely this invocation
+(MULTICHIP_r01.json ok=false) because the entry assumed a pre-provisioned
+8-device backend; the entry now self-provisions a virtual CPU mesh.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AXON_SITE = "/root/.axon_site"
+
+
+def test_dryrun_multichip_driver_invocation():
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES", "XLA_FLAGS")
+    }
+    pythonpath = [REPO]
+    if os.path.isdir(AXON_SITE):
+        pythonpath.append(AXON_SITE)
+    env["PYTHONPATH"] = os.pathsep.join(pythonpath)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"rc={proc.returncode}\n{proc.stdout}\n{proc.stderr}"
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+    assert "'data': 4" in proc.stdout and "'model': 2" in proc.stdout
+
+
+def test_dryrun_impl_degrades_to_available_devices():
+    """model_parallel derives from devices actually obtained, not requested."""
+    import jax
+
+    import __graft_entry__ as g
+
+    # Ask for more devices than exist in this 8-device CPU test env; the
+    # impl must clamp and still run (mesh over the 8 available).
+    assert len(jax.devices()) == 8
+    g._dryrun_impl(8)
