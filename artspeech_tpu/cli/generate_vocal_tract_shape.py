@@ -62,7 +62,10 @@ def build_forward(cfg, vocabulary, articulators):
         norm_stats = load_norm_stats(cfg["norm_stats_dir"] if cfg.get("norm_stats_dir")
                                      else cfg["datadir"], arts)
         denorm_mean, denorm_std = stack_norm_stats(norm_stats, arts)
-        _, decode_fn = build_frozen_ae(cfg, indices_dict, arts)
+        # aux_model_params carries the frozen-AE dims (reference
+        # generate_vocal_tract_shape_autoencoder.yaml aux_model_params).
+        ae_cfg = {**cfg, **(cfg.get("aux_model_params") or {})}
+        _, decode_fn = build_frozen_ae(ae_cfg, indices_dict, arts)
         rnn = PrincipalComponentsArtSpeech(
             vocab_size=len(vocabulary),
             indices_dict=indices_dict,

@@ -119,7 +119,12 @@ def main(cfg, args, tracker):
             tmp_dir=tmp_dir,
         )
         loaders[split] = RecognitionLoader(
-            dataset, feature, batch_size=cfg["batch_size"], shuffle=shuffle
+            dataset,
+            feature,
+            batch_size=cfg["batch_size"],
+            shuffle=shuffle,
+            # dp-shardable batch dim (dummy rows have input_length 0)
+            pad_to_multiple=len(jax.devices()),
         )
 
     # Init model/optimizer (CyclicLR per optimizer step, reference :184-189).
@@ -141,6 +146,17 @@ def main(cfg, args, tracker):
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if args.checkpoint_filepath:
         state, _ = restore_checkpoint(args.checkpoint_filepath, state)
+
+    # Data-parallel by default: replicate state over a dp mesh and shard
+    # every batch over the data axis (1-device mesh on a single chip).
+    from artspeech_tpu.data.batching import prefetch_to_device
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import batch_sharding, data_parallel_mesh
+
+    mesh = data_parallel_mesh(loaders["train"].collate_batch_size)
+    state = distribute_state(state, mesh)
+    sharding = batch_sharding(mesh)
+
     tracker.log_params({"num_network_params": count_parameters(params)})
     print(f"DeepSpeech2 -- {count_parameters(params)} parameters")
 
@@ -167,12 +183,16 @@ def main(cfg, args, tracker):
     best_metric, since_best = float("inf"), 0
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     for epoch in range(cfg["num_epochs"]):
-        losses = []
-        for batch, _ in loaders["train"]:
+        loss_sum, weight_sum = 0.0, 0.0
+        for batch, meta in prefetch_to_device(loaders["train"], sharding=sharding):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
-            losses.append(metrics["loss"])
-        train_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
+            w = float(meta.get("n_real", 1))  # sentence-weighted epoch mean
+            loss_sum += w * metrics["loss"]
+            weight_sum += w
+        train_loss = (
+            float(jax.device_get(loss_sum)) / weight_sum if weight_sum else float("nan")
+        )
 
         valid_info = run_recognition_test(
             state, eval_step, loaders["valid"], target_key, vocabulary

@@ -57,6 +57,10 @@ def main(cfg, args, tracker):
         **model_kwargs,
     )
 
+    # Data-parallel by default: collated batches pad to a multiple of the
+    # local device count so fit()'s dp mesh uses every chip (1 on a single
+    # chip; the dummy rows have length 0 and are excluded by every mask).
+    n_devices = len(jax.devices())
     loaders = {}
     for split, seq_key, shuffle in (
         ("train", "train_seq_dict", True),
@@ -72,7 +76,11 @@ def main(cfg, args, tracker):
             clip_tails=clip_tails,
         )
         loaders[split] = BucketedLoader(
-            dataset, batch_size=cfg["batch_size"], shuffle=shuffle, seed=seed
+            dataset,
+            batch_size=cfg["batch_size"],
+            shuffle=shuffle,
+            seed=seed,
+            pad_to_multiple=n_devices,
         )
 
     rng = jax.random.PRNGKey(seed)

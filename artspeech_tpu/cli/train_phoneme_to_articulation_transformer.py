@@ -63,7 +63,12 @@ def main(cfg, args, tracker):
             clip_tails=cfg.get("clip_tails", True),
         )
         loaders[split] = BucketedLoader(
-            dataset, batch_size=cfg["batch_size"], shuffle=shuffle, seed=seed
+            dataset,
+            batch_size=cfg["batch_size"],
+            shuffle=shuffle,
+            seed=seed,
+            # dp-shardable batch dim; fit() builds the mesh (see train/loop.py)
+            pad_to_multiple=len(jax.devices()),
         )
 
     b, t = cfg["batch_size"], 32

@@ -50,30 +50,41 @@ from artspeech_tpu.utils.io import sequences_from_dict
 
 
 def build_frozen_ae(cfg, indices_dict, articulators):
-    """Frozen encoder/decoder closures over loaded parameter pytrees."""
+    """Frozen encoder/decoder closures over loaded parameter pytrees.
+
+    The encoder is optional: synthesis-time configs ship only the decoder
+    (reference generate_vocal_tract_shape_autoencoder.yaml carries just
+    ``aux_state_dict_filepath`` = best_decoders.pt), so ``encode_fn`` is
+    None when ``encoder_state_dict_filepath`` is absent.
+    """
+    from artspeech_tpu.models.autoencoder import latent_size_of
+
     in_features = cfg.get("in_features", 100)
     hidden = cfg.get("hidden_features", 50)
-    encoder = MultiEncoder(
-        indices_dict=indices_dict,
-        in_features=in_features,
-        hidden_features=hidden,
-        encoder_cls=cfg.get("encoder_cls", "AE"),
-    )
+    sample = jnp.zeros((1, len(articulators), in_features))
+    encode_fn = None
+    if cfg.get("encoder_state_dict_filepath"):
+        encoder = MultiEncoder(
+            indices_dict=indices_dict,
+            in_features=in_features,
+            hidden_features=hidden,
+            encoder_cls=cfg.get("encoder_cls", "AE"),
+        )
+        enc_template = encoder.init(jax.random.PRNGKey(0), sample)["params"]
+        enc_params = load_params(cfg["encoder_state_dict_filepath"], enc_template)
+
+        def encode_fn(x):
+            return jnp.tanh(encoder.apply({"params": enc_params}, x))
+
     decoder = MultiDecoder(
         indices_dict=indices_dict,
         in_features=in_features,
         hidden_features=hidden,
         decoder_cls=cfg.get("decoder_cls", "AE"),
     )
-    sample = jnp.zeros((1, len(articulators), in_features))
-    enc_template = encoder.init(jax.random.PRNGKey(0), sample)["params"]
-    enc_params = load_params(cfg["encoder_state_dict_filepath"], enc_template)
-    z = encoder.apply({"params": enc_params}, sample)
+    z = jnp.zeros((1, latent_size_of(indices_dict)))
     dec_template = decoder.init(jax.random.PRNGKey(0), z)["params"]
     dec_params = load_params(cfg["decoder_state_dict_filepath"], dec_template)
-
-    def encode_fn(x):
-        return jnp.tanh(encoder.apply({"params": enc_params}, x))
 
     def decode_fn(zz):
         return decoder.apply({"params": dec_params}, zz)
@@ -132,7 +143,11 @@ def main(cfg, args, tracker):
             norm_stats=norm_stats,
         )
         loaders[split] = BucketedLoader(
-            dataset, batch_size=cfg["batch_size"], shuffle=shuffle
+            dataset,
+            batch_size=cfg["batch_size"],
+            shuffle=shuffle,
+            # dp-shardable batch dim; fit() builds the mesh (see train/loop.py)
+            pad_to_multiple=len(jax.devices()),
         )
 
     encode_fn, decode_fn = build_frozen_ae(cfg, indices_dict, articulators)

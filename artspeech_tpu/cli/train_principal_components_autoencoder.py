@@ -94,6 +94,19 @@ def main(cfg, args, tracker):
     params = model.init(jax.random.PRNGKey(cfg.get("seed", 0)), sample)["params"]
     tx = optax.adamw(cfg["learning_rate"], weight_decay=cfg.get("weight_decay", 0.0))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    # Data-parallel by default: frame batches shard over all local devices
+    # (zero-weight dummy rows make the batch dim divisible).
+    from artspeech_tpu.data.batching import prefetch_to_device
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import batch_sharding, data_parallel_mesh
+
+    n_devices = len(jax.devices())
+    pad_bs = ((cfg["batch_size"] + n_devices - 1) // n_devices) * n_devices
+    mesh = data_parallel_mesh(pad_bs)
+    state = distribute_state(state, mesh)
+    sharding = batch_sharding(mesh)
+
     tracker.log_params({"num_network_params": count_parameters(params)})
     print(f"MultiArticulatorAutoencoder -- {count_parameters(params)} parameters")
 
@@ -108,26 +121,41 @@ def main(cfg, args, tracker):
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     best_metric, since_best = float("inf"), 0
     for epoch in range(cfg["num_epochs"]):
-        metrics_sum, n = {}, 0
-        for batch, _meta in datasets["train"].batches(
-            cfg["batch_size"], shuffle=True, seed=cfg.get("seed", 0) + epoch
+        metrics_sum, total_w = {}, 0.0
+        for batch, meta in prefetch_to_device(
+            datasets["train"].batches(
+                cfg["batch_size"],
+                shuffle=True,
+                seed=cfg.get("seed", 0) + epoch,
+                pad_to_multiple=n_devices,
+            ),
+            sharding=sharding,
         ):
             state, metrics = train_step(state, batch)
-            n += 1
+            w = float(meta.get("n_valid", 1))  # frame-weighted epoch mean
+            total_w += w
             for k, v in metrics.items():
-                metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+                metrics_sum[k] = metrics_sum.get(k, 0.0) + w * v
         train_metrics = {
-            k: float(v) / max(n, 1) for k, v in jax.device_get(metrics_sum).items()
+            k: float(v) / max(total_w, 1.0)
+            for k, v in jax.device_get(metrics_sum).items()
         }
 
-        metrics_sum, n = {}, 0
-        for batch, _meta in datasets["valid"].batches(cfg["batch_size"], shuffle=False):
+        metrics_sum, total_w = {}, 0.0
+        for batch, meta in prefetch_to_device(
+            datasets["valid"].batches(
+                cfg["batch_size"], shuffle=False, pad_to_multiple=n_devices
+            ),
+            sharding=sharding,
+        ):
             metrics, _ = eval_step(state, batch)
-            n += 1
+            w = float(meta.get("n_valid", 1))
+            total_w += w
             for k, v in metrics.items():
-                metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+                metrics_sum[k] = metrics_sum.get(k, 0.0) + w * v
         valid_metrics = {
-            k: float(v) / max(n, 1) for k, v in jax.device_get(metrics_sum).items()
+            k: float(v) / max(total_w, 1.0)
+            for k, v in jax.device_get(metrics_sum).items()
         }
 
         record = {

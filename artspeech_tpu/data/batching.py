@@ -72,7 +72,12 @@ def collate_articulation_batch(
         names.append(item["sentence_name"])
         phonemes.append(item["phonemes"][:L])
         frame_ids.append(item["frame_ids"][:L])
-    meta = {"sentence_names": names, "phonemes": phonemes, "frame_ids": frame_ids}
+    meta = {
+        "sentence_names": names,
+        "phonemes": phonemes,
+        "frame_ids": frame_ids,
+        "n_real": len(items),
+    }
     return batch, meta
 
 
@@ -91,6 +96,7 @@ class BucketedLoader:
         seed: int = 0,
         drop_last: bool = False,
         cache_items: bool = True,
+        pad_to_multiple: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -98,6 +104,12 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # Chunk by batch_size (gradient semantics stay those of the
+        # configured batch) but collate to the next multiple of
+        # pad_to_multiple with zero-length dummy rows, so the batch dim
+        # shards evenly over a data-parallel mesh.
+        m = max(int(pad_to_multiple), 1)
+        self.collate_batch_size = ((batch_size + m - 1) // m) * m
         self._epoch = 0
         self._cache = [None] * len(dataset) if cache_items else None
 
@@ -154,14 +166,17 @@ class BucketedLoader:
                 if self.drop_last and len(chunk) < self.batch_size:
                     continue
                 items = [self._get(i) for i in chunk]
-                yield collate_articulation_batch(items, bucket, self.batch_size)
+                yield collate_articulation_batch(items, bucket, self.collate_batch_size)
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Async device prefetch: device_put the next batch(es) while the
     current one computes (single-device flax.jax_utils.prefetch analogue).
 
     Works with (batch, meta) tuples — only the batch pytree is transferred.
+    With ``sharding`` (e.g. batch_sharding(mesh)) the batch dim spreads over
+    the data axis during the transfer, so the jitted step runs sharded
+    without a separate device_put pass.
     """
     import collections
 
@@ -171,7 +186,9 @@ def prefetch_to_device(iterator, size: int = 2):
 
     def put(item):
         batch, meta = item
-        batch = jax.tree_util.tree_map(jax.device_put, batch)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        )
         queue.append((batch, meta))
 
     it = iter(iterator)
@@ -190,6 +207,10 @@ class CachedLoader:
     def __init__(self, loader):
         self._loader = loader
         self._batches = None
+
+    def __getattr__(self, name):
+        # Delegate loader attributes (batch_size, collate_batch_size, ...).
+        return getattr(self._loader, name)
 
     def __len__(self):
         return len(self._batches) if self._batches is not None else len(self._loader)

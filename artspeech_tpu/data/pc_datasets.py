@@ -162,10 +162,17 @@ class AutoencoderDataset:
             "phoneme": item["phoneme"],
         }
 
-    def batches(self, batch_size: int, shuffle=True, seed=0, drop_last=False):
+    def batches(
+        self, batch_size: int, shuffle=True, seed=0, drop_last=False,
+        pad_to_multiple: int = 1,
+    ):
         """Fixed-shape frame batches: ({inputs (B, Nart, F), weights (B,)},
         {frame_names, phonemes, n_valid}) — arrays and metadata split so the
-        batch dict can go straight into a jitted step."""
+        batch dict can go straight into a jitted step. ``pad_to_multiple``
+        rounds the collated batch dim up with zero-weight dummies so it
+        shards evenly over a data-parallel mesh."""
+        m = max(int(pad_to_multiple), 1)
+        collate_bs = ((batch_size + m - 1) // m) * m
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -177,8 +184,8 @@ class AutoencoderDataset:
             n = len(items)
             inputs = np.stack([it["inputs"] for it in items])
             weights = np.array([it["weight"] for it in items], np.float32)
-            if n < batch_size:  # pad with zero-weight dummies
-                pad = batch_size - n
+            if n < collate_bs:  # pad with zero-weight dummies
+                pad = collate_bs - n
                 inputs = np.concatenate([inputs, np.zeros((pad,) + inputs.shape[1:], np.float32)])
                 weights = np.concatenate([weights, np.zeros(pad, np.float32)])
             batch = {"inputs": inputs, "weights": weights}

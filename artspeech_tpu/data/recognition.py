@@ -378,7 +378,10 @@ def collate_recognition_batch(
     for i, it in enumerate(items):
         v = it["voicing"][:bucket]
         batch["voicing"][i, : len(v)] = v
-    meta = {"sentence_names": [it["sentence_name"] for it in items]}
+    meta = {
+        "sentence_names": [it["sentence_name"] for it in items],
+        "n_real": len(items),
+    }
     return batch, meta
 
 
@@ -395,10 +398,14 @@ class RecognitionLoader:
         seed: int = 0,
         hop_length: int = 256,
         cache_items: bool = True,
+        pad_to_multiple: int = 1,
     ):
         self.dataset = dataset
         self.feature = feature
         self.batch_size = batch_size
+        # Collate to a dp-shardable batch dim (see data/batching.py).
+        m = max(int(pad_to_multiple), 1)
+        self.collate_batch_size = ((batch_size + m - 1) // m) * m
         self.buckets = tuple(sorted(buckets))
         self.shuffle = shuffle
         self.seed = seed
@@ -449,6 +456,6 @@ class RecognitionLoader:
                     items,
                     self.feature,
                     bucket,
-                    self.batch_size,
+                    self.collate_batch_size,
                     hop_length=self.hop_length,
                 )

@@ -13,6 +13,7 @@ All collectives are XLA-inserted via NamedSharding under jit; there is no
 hand-rolled communication.
 """
 
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -21,6 +22,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def data_parallel_mesh(
+    batch_size: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Default production mesh: pure dp over local devices.
+
+    When ``batch_size`` is given, the data axis uses the largest device
+    count that divides it (a sharded batch dim must split evenly); on a
+    single chip this is a 1-device mesh, so nothing regresses. Loaders
+    built with ``pad_to_multiple=len(jax.devices())`` make the collated
+    batch divisible so all devices participate.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if batch_size:
+        n = math.gcd(int(batch_size), n) or 1
+    return make_mesh(devices[:n], model_parallel=1)
 
 
 def make_mesh(

@@ -27,31 +27,51 @@ from artspeech_tpu.train.state import (
 )
 
 
-def run_train_epoch(state, loader, train_step, rng) -> (object, Dict[str, float]):
-    """One training epoch; returns (state, mean metrics)."""
+def _batch_weight(meta) -> float:
+    """Real sentences in a collated batch (dummy pad rows excluded).
+
+    Epoch means weight each batch by this, so partially-filled final
+    buckets do not bias the reported (and best-model-selecting) metrics.
+    """
+    if isinstance(meta, dict):
+        n = meta.get("n_real", meta.get("n_valid"))
+        if n is not None:
+            return float(n)
+        names = meta.get("sentence_names")
+        if names is not None:
+            return float(len(names))
+    return 1.0
+
+
+def run_train_epoch(
+    state, loader, train_step, rng, sharding=None
+) -> (object, Dict[str, float]):
+    """One training epoch; returns (state, sentence-weighted mean metrics)."""
     from artspeech_tpu.data.batching import prefetch_to_device
 
-    sums, count = {}, 0
-    for i, (batch, _meta) in enumerate(prefetch_to_device(loader)):
+    sums, total_w = {}, 0.0
+    for batch, meta in prefetch_to_device(loader, sharding=sharding):
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
-        count += 1
+        w = _batch_weight(meta)
+        total_w += w
         for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + metrics[k]
-    means = {k: float(v) / max(count, 1) for k, v in jax.device_get(sums).items()}
+            sums[k] = sums.get(k, 0.0) + w * v
+    means = {k: float(v) / max(total_w, 1.0) for k, v in jax.device_get(sums).items()}
     return state, means
 
 
-def run_eval_epoch(state, loader, eval_step) -> Dict[str, float]:
+def run_eval_epoch(state, loader, eval_step, sharding=None) -> Dict[str, float]:
     from artspeech_tpu.data.batching import prefetch_to_device
 
-    sums, count = {}, 0
-    for batch, _meta in prefetch_to_device(loader):
+    sums, total_w = {}, 0.0
+    for batch, meta in prefetch_to_device(loader, sharding=sharding):
         metrics, _ = eval_step(state, batch)
-        count += 1
+        w = _batch_weight(meta)
+        total_w += w
         for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + v
-    return {k: float(v) / max(count, 1) for k, v in jax.device_get(sums).items()}
+            sums[k] = sums.get(k, 0.0) + w * v
+    return {k: float(v) / max(total_w, 1.0) for k, v in jax.device_get(sums).items()}
 
 
 @dataclass
@@ -79,6 +99,7 @@ def fit(
     resume: bool = False,
     resume_from: Optional[str] = None,
     epoch_callback: Optional[Callable] = None,
+    mesh="auto",
 ) -> FitResult:
     """Full training run with plateau LR, early stopping and checkpoints.
 
@@ -87,7 +108,22 @@ def fit(
     ``resume_from`` restores a specific checkpoint directory (the CLI
     --checkpoint path, reference train_phoneme_to_articulation.py:240-249);
     plain ``resume`` restores the rolling last/ checkpoint.
+
+    Training is data-parallel by default: ``mesh="auto"`` builds a dp mesh
+    over the local devices that evenly divide the loader's collated batch
+    size (a 1-device mesh on a single chip — no regression), replicates the
+    state onto it and shards every batch over the ``data`` axis. Pass an
+    explicit Mesh (e.g. with a model axis) or ``mesh=None`` to disable.
     """
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import batch_sharding, data_parallel_mesh
+
+    if mesh == "auto":
+        collate_bs = getattr(
+            train_loader, "collate_batch_size", getattr(train_loader, "batch_size", None)
+        )
+        mesh = data_parallel_mesh(collate_bs)
+    sharding = batch_sharding(mesh) if mesh is not None else None
     os.makedirs(checkpoints_dir, exist_ok=True)
     best_dir = os.path.join(checkpoints_dir, "best")
     last_dir = os.path.join(checkpoints_dir, "last")
@@ -113,15 +149,18 @@ def fit(
             scheduler.best = float(aux.get("scheduler_best", float("inf")))
             scheduler.bad_epochs = int(aux.get("scheduler_bad_epochs", 0))
 
+    if mesh is not None:
+        state = distribute_state(state, mesh)
+
     rng = jax.random.PRNGKey(seed)
     history = []
     epoch = start_epoch - 1
     for epoch in range(start_epoch, n_epochs):
         rng, epoch_rng = jax.random.split(rng)
         state, train_metrics = run_train_epoch(
-            state, train_loader, train_step, epoch_rng
+            state, train_loader, train_step, epoch_rng, sharding=sharding
         )
-        valid_metrics = run_eval_epoch(state, valid_loader, eval_step)
+        valid_metrics = run_eval_epoch(state, valid_loader, eval_step, sharding=sharding)
         monitored = valid_metrics[monitor]
 
         state = scheduler.step(valid_metrics.get("loss", monitored), state)

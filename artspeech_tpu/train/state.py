@@ -54,7 +54,13 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     opt_state = state.opt_state
     # inject_hyperparams wraps state in InjectStatefulHyperparamsState
     hyperparams = dict(opt_state.hyperparams)
-    hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    new_lr = jnp.asarray(lr, dtype=jnp.float32)
+    # Keep the old value's sharding (distributed state) so the jitted step
+    # signature is unchanged and an LR drop does not trigger a recompile.
+    old = hyperparams.get("learning_rate")
+    if hasattr(old, "sharding"):
+        new_lr = jax.device_put(new_lr, old.sharding)
+    hyperparams["learning_rate"] = new_lr
     opt_state = opt_state._replace(hyperparams=hyperparams)
     return state.replace(opt_state=opt_state)
 
