@@ -17,28 +17,63 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_NAME = "libcontour_loader.so"
+_last_error: Optional[str] = None
+
+
+def last_error() -> Optional[str]:
+    """Why the native loader is unavailable (None when it loaded fine)."""
+    _load_library()
+    return _last_error
+
+
+def _build(lib_path: str, src: str) -> Optional[str]:
+    """Compile the library; returns an error string or None on success."""
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+             "-shared", "-o", lib_path, src],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        return None
+    except subprocess.CalledProcessError as exc:
+        return f"g++ failed (rc={exc.returncode}): {exc.stderr[-2000:]}"
+    except Exception as exc:
+        return f"build failed: {type(exc).__name__}: {exc}"
 
 
 @lru_cache(maxsize=1)
 def _load_library() -> Optional[ctypes.CDLL]:
+    global _last_error
     lib_path = os.path.abspath(os.path.join(_NATIVE_DIR, _LIB_NAME))
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "contour_loader.cpp"))
     if not os.path.isfile(lib_path):
-        src = os.path.abspath(os.path.join(_NATIVE_DIR, "contour_loader.cpp"))
         if not os.path.isfile(src):
+            _last_error = f"source not found: {src}"
             return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-                 "-shared", "-o", lib_path, src],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
+        err = _build(lib_path, src)
+        if err is not None:
+            _last_error = err
             return None
     try:
         lib = ctypes.CDLL(lib_path)
-    except OSError:
-        return None
+    except OSError as exc:
+        # A stale/foreign-ABI .so (e.g. built on another machine): rebuild
+        # from source once before giving up.
+        if not os.path.isfile(src):
+            _last_error = f"dlopen failed and no source to rebuild: {exc}"
+            return None
+        err = _build(lib_path, src)
+        if err is not None:
+            _last_error = f"dlopen failed ({exc}); rebuild failed: {err}"
+            return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+        except OSError as exc2:
+            _last_error = f"dlopen failed after rebuild: {exc2}"
+            return None
+    _last_error = None
     lib.load_contours_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int64,

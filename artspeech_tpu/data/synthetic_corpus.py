@@ -19,6 +19,62 @@ from artspeech_tpu.data.textgrid import Interval, IntervalTier, TextGrid, write_
 DEFAULT_PHONEMES = ["#", "a", "b", "i", "p", "t", "u"]
 
 
+def make_vcv_corpus(
+    root: str,
+    consonants: Sequence[str] = ("p", "t", "b"),
+    vowel: str = "a",
+    stretches: Sequence[int] = (0, 20, 40, 60),
+    framerate: int = 50,
+) -> dict:
+    """Write a VCV (vowel-consonant-vowel) stimulus corpus: TextGrids only.
+
+    One "subject" per stretch factor (``stretched{N}pct``, consonant
+    duration scaled by 1+N/100) with one sequence per consonant, laid out
+    as ``{root}/{subject}/{seq}/{seq}.textgrid`` — the schema the
+    ``textgrid_only`` collector walks (reference
+    database_collector.py:223-290 and thesis_config
+    generate_vcv_{model_free,autoencoder}.yaml).
+    """
+    info = {"root": root, "sentences": []}
+    for stretch in stretches:
+        subject = f"stretched{stretch}pct"
+        factor = 1.0 + stretch / 100.0
+        for i, consonant in enumerate(consonants):
+            sequence = f"VCV{i + 1:02d}"
+            seq_dir = os.path.join(root, subject, sequence)
+            os.makedirs(seq_dir, exist_ok=True)
+
+            sil, v_dur = 0.2, 0.2
+            c_dur = 0.12 * factor
+            phones = [
+                ("#", sil),
+                (vowel, v_dur),
+                (consonant, c_dur),
+                (vowel, v_dur),
+                ("#", sil),
+            ]
+            phon_tier = IntervalTier("PhonTier")
+            t0 = 0.0
+            for text, dur in phones:
+                phon_tier.intervals.append(Interval(t0, t0 + dur, text))
+                t0 += dur
+            sent_tier = IntervalTier("SentenceTier")
+            sent_tier.intervals.append(Interval(0.0, t0, f"{vowel} {consonant} {vowel}"))
+            word_tier = IntervalTier("WordTier")
+            word_tier.intervals.append(Interval(0.0, t0, f"{vowel}{consonant}{vowel}"))
+            grid = TextGrid(tiers=[sent_tier, word_tier, phon_tier])
+            write_textgrid(grid, os.path.join(seq_dir, f"{sequence}.textgrid"), xmax=t0)
+            info["sentences"].append(
+                {
+                    "subject": subject,
+                    "sequence": sequence,
+                    "phones": [p for p, _ in phones],
+                }
+            )
+    info["phonemes"] = sorted({"#", vowel, *consonants})
+    return info
+
+
 def _contour_for(articulator: str, frame: int, rng) -> np.ndarray:
     """A smooth, articulator-specific wiggly arc in pixel coordinates."""
     idx = sorted(TUBE_ARTICULATORS).index(articulator) if articulator in TUBE_ARTICULATORS else 11

@@ -32,6 +32,26 @@ class Video:
         self.audio = audio
         self.frames_filepaths = frames_filepaths
 
+    @staticmethod
+    def load_frame(filepath: str) -> np.ndarray:
+        """Load one frame's pixel array as float64 (reference video.py:35-39).
+
+        ``.dcm`` frames load via pydicom (optional dependency, gated like
+        cli/dcm_to_npy.py); pre-converted ``.npy`` frames load directly.
+        """
+        if filepath.endswith(".npy"):
+            return np.load(filepath).astype(np.float64)
+        try:
+            import pydicom
+        except ImportError as exc:  # pragma: no cover - env without pydicom
+            raise RuntimeError(
+                "Video.load_frame on DICOM files requires pydicom "
+                "(not installed in this environment); convert with "
+                "cli/dcm_to_npy.py or pass .npy frames"
+            ) from exc
+        ds = pydicom.dcmread(filepath)
+        return ds.pixel_array.astype(np.float64)
+
     def get_audio_interval(self, start: float, end: float):
         time = np.linspace(0.0, self.duration, self.num_samples)
         indices = np.where((time >= start) & (time < end))[0]

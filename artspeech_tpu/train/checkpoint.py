@@ -68,12 +68,12 @@ def load_params(path: str, template):
     candidates = [path]
     if os.path.isdir(os.path.join(path, "state")):
         candidates.insert(0, os.path.join(path, "state"))
-    last_err = None
+    errors = []
     for p in candidates:
         try:
             return ckptr.restore(p, item=template)
         except Exception as exc:  # structure mismatch -> try full-state form
-            last_err = exc
+            errors.append((f"{p} (as params)", exc))
         try:
             # Build a host-array item skeleton from on-disk metadata (forcing
             # numpy restore, no shardings needed), then extract the params
@@ -91,5 +91,10 @@ def load_params(path: str, template):
             if isinstance(restored, dict) and "params" in restored:
                 return restored["params"]
         except Exception as exc:
-            last_err = exc
-    raise last_err
+            errors.append((f"{p} (as full state)", exc))
+    # Report every attempted candidate, not just the final fallback, so the
+    # real structure-mismatch cause is visible; chain the first exception.
+    summary = "; ".join(f"{where}: {type(e).__name__}: {e}" for where, e in errors)
+    raise RuntimeError(
+        f"load_params failed for {path} — tried {len(errors)} forms: {summary}"
+    ) from (errors[0][1] if errors else None)

@@ -69,7 +69,7 @@ def set_seeds(worker_id: int = 0, base_seed: int = 0):
     import random
 
     seed = base_seed + worker_id
-    np.random.seed(seed % (2**32 - 1))
+    np.random.seed(seed % (2**32))  # numpy accepts the full 0..2**32-1 range
     random.seed(seed)
 
 

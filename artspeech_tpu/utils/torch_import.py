@@ -146,7 +146,6 @@ def load_librispeech_deepspeech2(
         dropout=0.05,
         adapter_out_features=adapter_out_features,
     )
-    d = adapter_out_features or num_features
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, num_features, 8))
     )["params"]

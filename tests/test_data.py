@@ -153,12 +153,19 @@ def test_normalize_inverse():
 
 def test_native_contour_loader(tmp_path):
     """Native batch loader matches the Python loader bit-for-bit semantics."""
-    pytest.importorskip("ctypes")
+    import shutil
+
     from artspeech_tpu.data import native
     from artspeech_tpu.data.loaders import load_articulator_array
 
     if not native.available():
-        pytest.skip("native loader not built and g++ unavailable")
+        # Skip ONLY when the toolchain itself is absent; a failed build on a
+        # g++-equipped host is a real regression and must fail loudly
+        # (VERDICT r1 weak #8).
+        reason = native.last_error()
+        if shutil.which("g++") is None:
+            pytest.skip(f"g++ unavailable, cannot build native loader: {reason}")
+        pytest.fail(f"native loader failed to build/load with g++ present: {reason}")
 
     rng = np.random.default_rng(0)
     paths = []
