@@ -76,14 +76,22 @@ def make_vcv_corpus(
 
 
 def _contour_for(articulator: str, frame: int, rng) -> np.ndarray:
-    """A smooth, articulator-specific wiggly arc in pixel coordinates."""
+    """A smooth, articulator-specific wiggly arc in pixel coordinates.
+
+    The tail-clip reference articulators sit at y offsets that satisfy the
+    TailClipper keep-conditions (tongue below max lower-incisor y and below
+    min epiglottis y + margin, reference tail_clipper.py:13-49), so corpora
+    built here survive clip_tails=True paths (e.g. the recognition dataset,
+    which hard-codes it) without degenerating to empty contours.
+    """
     idx = sorted(TUBE_ARTICULATORS).index(articulator) if articulator in TUBE_ARTICULATORS else 11
     t = np.linspace(0.0, 1.0, 50)
     base_r = 20.0 + 6.0 * idx
     ang = np.pi * (0.2 + 0.6 * t) + 0.02 * frame
     cx, cy = 68.0, 68.0
+    y_shift = {"lower-incisor": 40.0, "epiglottis": 60.0}.get(articulator, 0.0)
     x = cx + base_r * np.cos(ang) + 0.5 * np.sin(5 * t + idx)
-    y = cy + base_r * np.sin(ang) + 0.5 * np.cos(4 * t + frame * 0.1)
+    y = cy + y_shift + base_r * np.sin(ang) + 0.5 * np.cos(4 * t + frame * 0.1)
     pts = np.stack([x, y], axis=1)
     return (pts + 0.2 * rng.normal(size=pts.shape)).astype(np.float32)
 

@@ -60,6 +60,70 @@ def _gru(sd, prefix):
     }
 
 
+def convert_artspeech_state_dict(
+    sd: Dict[str, np.ndarray], num_layers: int = 2
+) -> Dict:
+    """Convert a reference ArtSpeech torch state dict (encoder_decoder/
+    models.py:99-145) into our flax ArtSpeech parameter pytree.
+
+    Embedding + 2-layer BiGRU + Linear head map 1:1; the per-articulator
+    ``ArticulatorPredictor`` ModuleList stacks onto the leading (Nart, ...)
+    axis of the nn.vmap-lifted heads.
+    """
+    params: Dict = {
+        "Embed_0": {"embedding": sd["embedding.weight"].astype(np.float32)},
+        "Dense_0": _linear(sd, "linear.0"),
+        "BiGRU_0": {},
+    }
+    idx = 0
+    for layer in range(num_layers):
+        for direction in ("", "_reverse"):
+            params["BiGRU_0"][f"GRULayer_{idx}"] = {
+                "wi": sd[f"rnn.weight_ih_l{layer}{direction}"].T.astype(np.float32),
+                "bi": sd[f"rnn.bias_ih_l{layer}{direction}"].astype(np.float32),
+                "wh": sd[f"rnn.weight_hh_l{layer}{direction}"].T.astype(np.float32),
+                "bh": sd[f"rnn.bias_hh_l{layer}{direction}"].astype(np.float32),
+            }
+            idx += 1
+
+    n_art = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("predictors.")
+    )
+
+    def stack_linear(suffix):
+        return {
+            "kernel": np.stack(
+                [sd[f"predictors.{i}.{suffix}.weight"].T for i in range(n_art)]
+            ).astype(np.float32),
+            "bias": np.stack(
+                [sd[f"predictors.{i}.{suffix}.bias"] for i in range(n_art)]
+            ).astype(np.float32),
+        }
+
+    def stack_layernorm(suffix):
+        return {
+            "scale": np.stack(
+                [sd[f"predictors.{i}.{suffix}.weight"] for i in range(n_art)]
+            ).astype(np.float32),
+            "bias": np.stack(
+                [sd[f"predictors.{i}.{suffix}.bias"] for i in range(n_art)]
+            ).astype(np.float32),
+        }
+
+    params["ContourDecoder_0"] = {
+        "VmapArticulatorPredictor_0": {
+            "LayerNorm_0": stack_layernorm("linear.0"),
+            "Dense_0": stack_linear("linear.1"),
+            "LayerNorm_1": stack_layernorm("linear.3"),
+            "Dense_1": stack_linear("linear.4"),
+            "LayerNorm_2": stack_layernorm("linear.6"),
+            "Dense_2": stack_linear("x_coords"),
+            "Dense_3": stack_linear("y_coords"),
+        }
+    }
+    return params
+
+
 def convert_deepspeech2_state_dict(
     sd: Dict[str, np.ndarray],
     num_residual_layers: int,

@@ -1,0 +1,63 @@
+"""System-level parity against the ACTUAL reference code (VERDICT r1 #4).
+
+Runs the unmodified reference scripts through parity/refshims on a shared
+synthetic corpus and checks the PARITY.md table's claims:
+
+- mean-contour: reference script loss vs our CLI loss within 15% (the
+  reference subsamples 10% of rows per token; ours uses the full table).
+- encoder_decoder: the reference-trained torch BiGRU, imported into flax,
+  reproduces the reference's test loss to 1e-6 through OUR eval harness.
+- recognizer: the reference-trained torch DeepSpeech2, imported into flax,
+  matches reference logits to 1e-4 in deterministic eval.
+
+Skipped when /root/reference is absent.
+"""
+
+import os
+
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree absent"
+)
+
+
+@pytest.fixture(scope="module")
+def parity(tmp_path_factory):
+    from parity.run_reference_parity import (
+        build_corpus,
+        encoder_decoder_leg,
+        mean_contour_leg,
+        recognizer_leg,
+    )
+
+    workdir = str(tmp_path_factory.mktemp("parity"))
+    root = build_corpus(workdir)
+    return root, workdir
+
+
+def test_mean_contour_parity(parity):
+    from parity.run_reference_parity import mean_contour_leg
+
+    root, workdir = parity
+    res = mean_contour_leg(root, workdir)
+    assert res["rel_diff"] < 0.15, res
+
+
+def test_encoder_decoder_weight_import_parity(parity):
+    from parity.run_reference_parity import encoder_decoder_leg
+
+    root, workdir = parity
+    res = encoder_decoder_leg(root, workdir, num_epochs=3)
+    assert res["loss_abs_diff"] < 1e-6, res
+    assert res["max_y_corr_abs_diff"] < 5e-3, res
+
+
+def test_recognizer_weight_import_parity(parity):
+    from parity.run_reference_parity import recognizer_leg
+
+    root, workdir = parity
+    res = recognizer_leg(root, workdir, num_epochs=2)
+    assert res["logits_max_abs_diff"] < 1e-4, res
