@@ -44,13 +44,24 @@ def interp1d(x_new, x, y):
         y: (..., N) sample values.
     Returns:
         (..., K) interpolated values (clamped at the ends).
+
+    TPU note: implemented as a (K, N) comparison reduce + one-hot einsum
+    instead of ``searchsorted`` + gathers — under vmap over thousands of
+    frames the sorted-search/gather lowering dominated the whole synthesis
+    pipeline, while this form is a couple of tiny matmuls.
     """
-    idx = jnp.clip(jnp.searchsorted(x, x_new, side="right") - 1, 0, x.shape[0] - 2)
-    x0 = x[idx]
-    x1 = x[idx + 1]
+    n = x.shape[0]
+    # searchsorted(x, x_new, side="right") - 1 == count(x <= x_new) - 1
+    idx = jnp.clip(
+        jnp.sum(x_new[:, None] >= x[None, :], axis=1) - 1, 0, n - 2
+    )
+    oh0 = (idx[:, None] == jnp.arange(n)).astype(y.dtype)  # (K, N)
+    oh1 = (idx[:, None] + 1 == jnp.arange(n)).astype(y.dtype)
+    x0 = oh0 @ x
+    x1 = oh1 @ x
     w = jnp.where(x1 > x0, (x_new - x0) / jnp.maximum(x1 - x0, 1e-12), 0.0)
-    y0 = y[..., idx]
-    y1 = y[..., idx + 1]
+    y0 = jnp.einsum("...n,kn->...k", y, oh0)
+    y1 = jnp.einsum("...n,kn->...k", y, oh1)
     return y0 * (1.0 - w) + y1 * w
 
 

@@ -1,17 +1,25 @@
 """End-to-end synthesis throughput benchmark.
 
 Measures frames/sec for the full phoneme -> contour -> B-spline smoothing ->
-vocal-tract tube -> area-function synthesis pipeline as ONE jitted XLA program
-on the available accelerator, and compares against a reference-style PyTorch
-(CPU) implementation of the same pipeline (the reference repo is
-single-device torch with per-frame host geometry loops,
-generate_vocal_tract_shape_v2.py:365-439, and publishes no numbers of its
-own — see BASELINE.md).
+vocal-tract tube -> semipolar-grid area-function synthesis pipeline as ONE
+jitted XLA program on the available accelerator, against a
+reference-faithful PyTorch-CPU implementation of the same per-frame work
+(the reference is single-device torch with per-frame host geometry:
+generate_vocal_tract_shape_v2.py:365-439 + scripts/shape_to_air_column.py +
+area_function.py:124-223 — scipy splines, wall chaining, per-grid-line
+intersections, even resampling; shapely/numba replaced by equivalent-or-
+faster numpy).
+
+``vs_baseline`` is computed against the GPU-EXTRAPOLATED reference bound:
+the reference's network forward would move to GPU, but its per-frame
+geometry is host code — so an idealized PyTorch-GPU reference is bounded by
+geometry-only CPU throughput (model time -> 0). That bound is what the
+value is divided by. The plain torch-CPU end-to-end fps (model included) is
+also measured and reported in benchmarks/BENCH_DETAILS.md.
 
 Prints one JSON line:
   {"metric": "synthesis_frames_per_sec", "value": N, "unit": "frames/s",
    "vs_baseline": N}
-where vs_baseline = value / torch_cpu_baseline_fps.
 """
 
 import json
@@ -27,9 +35,28 @@ N_ART = 11
 N_SAMPLES = 50
 VOCAB = 64
 FRAMES = BATCH * SEQ
+WALL_POINTS = 100
+AREA_SAMPLES = 200
 
 
-def bench_tpu():
+def _semipolar_grid_np():
+    """The fixed Maeda-style grid both pipelines intersect against."""
+    os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+    from artspeech_tpu.geometry.grid import build_semipolar_grid
+
+    return np.asarray(
+        build_semipolar_grid(
+            center=(0.5, 0.5),
+            theta_rad=np.deg2rad(30.0),
+            omega_rad=np.deg2rad(-30.0),
+            linear_step=0.05,
+            polar_step_rad=np.deg2rad(5.0),
+        ),
+        dtype=np.float32,
+    )
+
+
+def bench_tpu(grid):
     import jax
 
     try:
@@ -60,6 +87,7 @@ def bench_tpu():
     tokens = jax.random.randint(rng, (BATCH, SEQ), 0, VOCAB)
     lengths = jnp.full((BATCH,), SEQ, dtype=jnp.int32)
     params = model.init(rng, tokens, lengths)["params"]
+    grid_j = jnp.asarray(grid)
 
     @jax.jit
     def synthesize(params, tokens, lengths):
@@ -67,8 +95,14 @@ def bench_tpu():
         smooth = regularize_bsplines(jnp.swapaxes(contours, -1, -2))
         smooth = jnp.swapaxes(smooth, -1, -2)
         flat = smooth.reshape(-1, N_ART, 2, N_SAMPLES)
-        internal, external = generate_vocal_tract_tube_batch(flat, arts)
-        area = jax.vmap(lambda i, e: tube_area_function(i, e))(internal, external)
+        internal, external = generate_vocal_tract_tube_batch(
+            flat, arts, wall_points=WALL_POINTS
+        )
+        area = jax.vmap(
+            lambda i, e: tube_area_function(
+                i, e, semipolar_grid=grid_j, n_samples=AREA_SAMPLES
+            )
+        )(internal, external)
         return contours, internal, external, area
 
     out = jax.block_until_ready(synthesize(params, tokens, lengths))  # compile
@@ -82,13 +116,142 @@ def bench_tpu():
     return FRAMES * n_iters / dt
 
 
-def bench_torch_baseline():
-    """Reference-style pipeline: torch BiGRU model forward + per-frame host
-    geometry (numpy), mirroring the reference's single-device loop."""
+# ---------------------------------------------------------------------------
+# Reference-faithful torch-CPU baseline
+# ---------------------------------------------------------------------------
+
+def _baseline_orders():
+    from artspeech_tpu.core import constants as C
+    from artspeech_tpu.geometry.tube import EXTERNAL_WALL_ORDER, INTERNAL_WALL_ORDER
+
+    arts = sorted(
+        [
+            C.TONGUE, C.UPPER_LIP, C.LOWER_LIP, C.UPPER_INCISOR,
+            C.LOWER_INCISOR, C.PHARYNX, C.SOFT_PALATE_MIDLINE, C.EPIGLOTTIS,
+            C.ARYTENOID_CARTILAGE, C.THYROID_CARTILAGE, C.VOCAL_FOLDS,
+        ]
+    )
+    internal = [arts.index(a) for a in INTERNAL_WALL_ORDER]
+    external = [arts.index(a) for a in EXTERNAL_WALL_ORDER]
+    return internal, external
+
+
+def _regularize_scipy(contour):
+    """Reference-style B-spline smoothing (vt_tools regularize_Bsplines is
+    a scipy spline fit per dumped contour, phoneme_to_articulation/
+    __init__.py:186)."""
+    from scipy.interpolate import splev, splprep
+
+    tck, _ = splprep([contour[:, 0], contour[:, 1]], k=3, s=1e-4)
+    u = np.linspace(0.0, 1.0, len(contour))
+    x, y = splev(u, tck)
+    return np.stack([x, y], axis=1)
+
+
+def _chain_np(contours):
+    first = contours[0]
+    if len(contours) > 1:
+        nxt = contours[1]
+        d_end = min(
+            np.sum((nxt[0] - first[-1]) ** 2), np.sum((nxt[-1] - first[-1]) ** 2)
+        )
+        d_start = min(
+            np.sum((nxt[0] - first[0]) ** 2), np.sum((nxt[-1] - first[0]) ** 2)
+        )
+        if d_start < d_end:
+            first = first[::-1]
+    pieces = [first]
+    end = first[-1]
+    for c in contours[1:]:
+        if np.sum((c[-1] - end) ** 2) < np.sum((c[0] - end) ** 2):
+            c = c[::-1]
+        pieces.append(c)
+        end = c[-1]
+    return np.concatenate(pieces, axis=0)
+
+
+def _arclength_resample_np(points, n_out):
+    seg = np.linalg.norm(np.diff(points, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    s_new = np.linspace(0.0, s[-1], n_out)
+    return np.stack(
+        [np.interp(s_new, s, points[:, 0]), np.interp(s_new, s, points[:, 1])],
+        axis=1,
+    )
+
+
+def _intersect_line_wall_np(p0, p1, wall):
+    """Crossing points of one grid line with a wall polyline (the work
+    shapely's line.intersection does per grid line,
+    reference area_function.py:175-223)."""
+    q0 = wall[:-1]
+    e = wall[1:] - wall[:-1]
+    d = p1 - p0
+    rel = q0 - p0
+    denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+    safe = np.where(np.abs(denom) > 1e-12, denom, 1.0)
+    t = (rel[:, 0] * e[:, 1] - rel[:, 1] * e[:, 0]) / safe
+    u = (rel[:, 0] * d[1] - rel[:, 1] * d[0]) / safe
+    valid = (np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    return p0 + t[valid, None] * d
+
+
+def _geometry_frame_np(frame, internal_order, external_order, grid):
+    """The reference's full per-frame geometry on one (Nart, 2, 50) frame."""
+    pts = frame.transpose(0, 2, 1)  # (Nart, 50, 2)
+    smooth = [_regularize_scipy(c) for c in pts]
+    internal = _arclength_resample_np(
+        _chain_np([smooth[i] for i in internal_order]), WALL_POINTS
+    )
+    external = _arclength_resample_np(
+        _chain_np([smooth[i] for i in external_order]), WALL_POINTS
+    )
+
+    # Per-grid-line wall intersections + nearest pairing.
+    sections = []
+    for line in grid:
+        p0, p1 = line[0], line[-1]
+        ci = _intersect_line_wall_np(p0, p1, internal)
+        ce = _intersect_line_wall_np(p0, p1, external)
+        if len(ci) and len(ce):
+            dmat = np.sum((ci[:, None, :] - ce[None, :, :]) ** 2, axis=-1)
+            a, b = np.unravel_index(np.argmin(dmat), dmat.shape)
+            sections.append((ci[a], ce[b]))
+        elif len(ci):
+            ends = np.stack([external[0], external[-1]])
+            d = np.sum((ci[:, None, :] - ends[None]) ** 2, axis=-1)
+            a, b = np.unravel_index(np.argmin(d), d.shape)
+            sections.append((ci[a], ends[b]))
+        elif len(ce):
+            ends = np.stack([internal[0], internal[-1]])
+            d = np.sum((ce[:, None, :] - ends[None]) ** 2, axis=-1)
+            a, b = np.unravel_index(np.argmin(d), d.shape)
+            sections.append((ends[b], ce[a]))
+
+    if len(sections) < 2:
+        return None
+    iw = np.stack([s[0] for s in sections])
+    ew = np.stack([s[1] for s in sections])
+    # mid_point + area (reference area_function.py:113-142).
+    mid = (iw + ew) / 2.0
+    radius = np.linalg.norm(iw - ew, axis=1) / 2.0
+    fx = np.pi * radius**2
+    dists = np.concatenate([[0.0], np.cumsum(np.linalg.norm(np.diff(mid, axis=0), axis=1))])
+    # evenly_spaced_fx (reference :145-159).
+    xs = np.linspace(dists[0], dists[-1], AREA_SAMPLES)
+    return np.stack([xs, np.interp(xs, dists, fx)])
+
+
+def bench_torch_baseline(grid, frames_sub=256):
+    """Reference-faithful pipeline: torch BiGRU forward + the real per-frame
+    host geometry. Returns (full_cpu_fps, geometry_only_fps); the latter is
+    the idealized PyTorch-GPU bound (network time -> 0, geometry stays on
+    the host as in the reference)."""
     import torch
     import torch.nn as nn
 
     torch.set_num_threads(os.cpu_count() or 1)
+    internal_order, external_order = _baseline_orders()
 
     class TorchArtSpeech(nn.Module):
         def __init__(self):
@@ -116,38 +279,36 @@ def bench_torch_baseline():
     model = TorchArtSpeech().eval()
     tokens = torch.randint(0, VOCAB, (BATCH, SEQ))
 
-    def geometry_host(contours):
-        # per-frame host loop like reference generate_vocal_tract_shape_v2
-        flat = contours.reshape(-1, N_ART, 2, N_SAMPLES).numpy()
-        for frame in flat:
-            walls = frame.transpose(0, 2, 1).reshape(-1, 2)  # crude chain
-            d = np.linalg.norm(np.diff(walls, axis=0), axis=1)
-            pos = np.concatenate([[0.0], np.cumsum(d)])
-            # resample both walls to 100 pts + area fn
-            grid = np.linspace(0, pos[-1], 100)
-            xs = np.interp(grid, pos, walls[:, 0])
-            ys = np.interp(grid, pos, walls[:, 1])
-            r = np.hypot(np.diff(xs), np.diff(ys))
-            _ = np.pi * r**2
-
-    n_iters = 3
     with torch.no_grad():
         model(tokens)  # warmup
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = model(tokens)
-            geometry_host(out)
-        dt = time.perf_counter() - t0
-    return FRAMES * n_iters / dt
+        out = model(tokens)
+        model_dt = time.perf_counter() - t0
+
+    flat = out.reshape(-1, N_ART, 2, N_SAMPLES).numpy().astype(np.float64)
+    sub = flat[:frames_sub]
+    t0 = time.perf_counter()
+    n_ok = 0
+    for frame in sub:
+        res = _geometry_frame_np(frame, internal_order, external_order, grid)
+        n_ok += res is not None
+    geom_dt_per_frame = (time.perf_counter() - t0) / len(sub)
+    assert n_ok > 0, "baseline geometry produced no valid frames"
+
+    geom_dt = geom_dt_per_frame * FRAMES
+    full_fps = FRAMES / (model_dt + geom_dt)
+    geometry_only_fps = FRAMES / geom_dt  # idealized-GPU reference bound
+    return full_fps, geometry_only_fps
 
 
 def main():
-    fps = bench_tpu()
+    grid = _semipolar_grid_np()
+    fps = bench_tpu(grid)
     try:
-        baseline_fps = bench_torch_baseline()
+        cpu_fps, gpu_bound_fps = bench_torch_baseline(grid)
     except Exception:
-        baseline_fps = None
-    vs = round(fps / baseline_fps, 3) if baseline_fps else None
+        cpu_fps = gpu_bound_fps = None
+    vs = round(fps / gpu_bound_fps, 3) if gpu_bound_fps else None
     print(
         json.dumps(
             {
