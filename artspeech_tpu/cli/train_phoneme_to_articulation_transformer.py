@@ -21,7 +21,10 @@ from artspeech_tpu.core.vocab import load_vocabulary
 from artspeech_tpu.data.batching import BucketedLoader
 from artspeech_tpu.data.datasets import ArtSpeechDataset
 from artspeech_tpu.eval.articulation import run_test
-from artspeech_tpu.models.transformer import ArtSpeechTransformer
+from artspeech_tpu.models.transformer import (
+    ArtSpeechTransformer,
+    make_fast_generate,
+)
 from artspeech_tpu.train.checkpoint import restore_checkpoint
 from artspeech_tpu.train.loop import fit
 from artspeech_tpu.train.state import count_parameters, create_train_state
@@ -103,13 +106,9 @@ def main(cfg, args, tracker):
 
     best_state, _ = restore_checkpoint(result.best_params_dir, result.state)
 
-    def apply_fn(params, tokens, lengths):
-        return model.apply(
-            {"params": params},
-            tokens,
-            lengths,
-            method=ArtSpeechTransformer.generate,
-        )
+    # KV-cached autoregressive decode (see benchmarks/BENCH_DETAILS.md
+    # "Generate crossover": 2.2x at T=128, 3.8x at T=256 vs buffer re-decode).
+    apply_fn = make_fast_generate(model)
 
     info = run_test(
         best_state.params,

@@ -52,15 +52,11 @@ class ChannelProcessingLayer(nn.Module):
     """LN -> Q/K/V MLPs -> MHA -> query residual (reference models.py:37-100).
 
     The reference applies the SAME LayerNorm to src and tgt; kept here.
-    With ``decode=True`` the attention maintains a KV cache (flax decode
-    machinery): initialize with full-length inputs, then step with length-1
-    queries — causality comes from the cache index, no mask needed.
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
-    decode: bool = False
 
     @nn.compact
     def __call__(self, src, tgt, mask=None, deterministic: bool = True):
@@ -80,8 +76,7 @@ class ChannelProcessingLayer(nn.Module):
             num_heads=self.num_heads,
             dropout_rate=self.dropout,
             deterministic=deterministic,
-            decode=self.decode,
-        )(query, key, value, mask=None if self.decode else mask)
+        )(query, key, value, mask=mask)
         return query + out
 
 
@@ -94,7 +89,6 @@ class ChannelInteractionsLayer(nn.Module):
     num_heads: int
     num_tgt_channels: int
     dropout: float = 0.0
-    decode: bool = False
 
     @nn.compact
     def __call__(self, src_channel, tgt_channels, mask=None, deterministic=True):
@@ -112,9 +106,9 @@ class ChannelInteractionsLayer(nn.Module):
             in_axes=(None, 1, None, None),
             out_axes=1,
             axis_size=self.num_tgt_channels,
-            variable_axes={"params": 0, "cache": 0},
+            variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, self.dropout, self.decode)
+        )(self.embed_dim, self.num_heads, self.dropout)
         outs = vmapped(src, tgts, mask, deterministic)
         # (B, Nother, L, E) -> concat channels (B, L, Nother * E)
         b, n, l, e = outs.shape
@@ -132,7 +126,6 @@ class MultiChannelDecoderLayer(nn.Module):
     num_heads: int
     num_channels: int
     dropout: float = 0.0
-    decode: bool = False
 
     @nn.compact
     def __call__(
@@ -152,9 +145,9 @@ class MultiChannelDecoderLayer(nn.Module):
             in_axes=(1, 1, None, None),
             out_axes=1,
             axis_size=c,
-            variable_axes={"params": 0, "cache": 0},
+            variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, self.dropout, self.decode)
+        )(self.embed_dim, self.num_heads, self.dropout)
         tgt_d = drop(tgt, deterministic=deterministic)
         proc = self_vmapped(tgt_d, tgt_d, tgt_mask, deterministic)
 
@@ -170,9 +163,9 @@ class MultiChannelDecoderLayer(nn.Module):
             in_axes=(1, 1, None, None),
             out_axes=1,
             axis_size=c,
-            variable_axes={"params": 0, "cache": 0},
+            variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, c - 1, self.dropout, self.decode)
+        )(self.embed_dim, self.num_heads, c - 1, self.dropout)
         proc_d = drop(proc, deterministic=deterministic)
         others_d = drop(others, deterministic=deterministic)
         inter = inter_vmapped(proc_d, others_d, tgt_mask, deterministic)
@@ -237,7 +230,6 @@ class ArtSpeechTransformer(nn.Module):
     num_feat: int = 100  # 2 * n_samples
     dropout: float = 0.0
     encoder_ff_dim: int = 2048
-    decode: bool = False  # KV-cached incremental decoding (fast_generate)
 
     def setup(self):
         self.src_embedding = nn.Embed(self.vocab_size, self.embed_dim)
@@ -255,7 +247,6 @@ class ArtSpeechTransformer(nn.Module):
                 self.num_heads,
                 self.num_articulators,
                 self.dropout,
-                decode=self.decode,
             )
             for _ in range(self.num_layers)
         ]
@@ -339,32 +330,6 @@ class ArtSpeechTransformer(nn.Module):
         memory_mask = src_mask[:, None, None, :] if src_mask is not None else None
         return memory, memory_mask
 
-    def decode_step(self, prev_frame, t, memory, memory_mask=None):
-        """One KV-cached decoding step (requires decode=True + a mutable
-        "cache" collection initialized at full length).
-
-        Args:
-            prev_frame: (B, C, F) previous output frame (zeros at t=0).
-            t: scalar position index (for the positional encoding).
-        Returns:
-            (B, C, F) next frame.
-        """
-        b, c, f = prev_frame.shape
-        h = self.tgt_embed_ln(prev_frame[:, None])  # (B, 1, C, F)
-        h = nn.relu(self.tgt_embed_dense(h))
-        h = jnp.transpose(h, (0, 2, 1, 3))  # (B, C, 1, E)
-        pe = jax.lax.dynamic_index_in_dim(
-            sinusoidal_positions(5000, self.embed_dim), t, keepdims=False
-        )
-        h = h + pe
-        for layer in self.decoder_layers:
-            h = layer(h, memory, None, memory_mask, deterministic=True)
-        h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, 1, c * self.embed_dim)
-        h = self.head_ln(h)
-        h = nn.relu(self.head_dense(h))
-        out = nn.sigmoid(self.predictors(h))  # (B, 1, C, 2, D)
-        return out[:, 0].reshape(b, c, f)
-
     def generate(self, src, src_lengths=None):
         """Autoregressive generation from a zero start token via lax.scan
         (reference models.py:391-427, without per-step re-allocation).
@@ -396,61 +361,198 @@ class ArtSpeechTransformer(nn.Module):
         return tgt_buf[:, 1:].reshape(b, s, c, 2, f // 2)
 
 
-def make_fast_generate(model: ArtSpeechTransformer, max_len: int):
-    """KV-cached autoregressive generation (flax decode-cache pattern).
+def _ln_norm(x, eps=1e-6):
+    """Parameter-free part of flax LayerNorm over the last axis."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
+    """KV-cached autoregressive generation as a pure-JAX scan over the
+    extracted parameter tree.
 
     The method-based ``generate`` re-decodes the full buffer every step
-    (O(T^2) attention per step, O(T^3) total). This builds a sampler that
-    steps the decoder with length-1 queries against per-layer KV caches —
-    O(T) steps of O(T) attention.
+    (O(T^2) attention per step, O(T^3) total). The flax decode-cache
+    version of this sampler paid two avoidable per-step costs that pushed
+    its break-even out to T~128: a full-length ``init`` pass just to size
+    the caches, and — dominant — re-projecting the encoder memory through
+    every layer's per-channel key/value MLP + attention projections at
+    every step (O(S * E^2 * C * L) FLOPs per generated frame). This
+    implementation hoists all memory-side projections out of the scan,
+    materializes the per-layer self/cross-channel KV caches directly with
+    ``jnp.zeros``, and performs each step as a handful of channel-batched
+    einsums against ``params`` — so a step costs only the O(C^2 E^2)
+    query-side work plus O(t) cache attention, and the cached path wins
+    from T~16 up (see benchmarks/BENCH_DETAILS.md "Generate crossover").
 
-    Measured tradeoff on v5e (B=4, 2 layers, 11 channels): the cached path
-    breaks even around T=128 (363ms vs 423ms) and only wins for longer
-    sequences — at thesis sentence lengths the full-buffer ``generate``
-    keeps the MXU busier than 11-channel length-1 queries. Both paths are
-    numerically equivalent per step (CPU parity to 1e-4); autoregressive
-    feedback amplifies bf16 matmul noise identically in either.
+    Numerics match the module path (same flax Dense/LayerNorm/MHA math,
+    reduction order differs): per-step parity ~1e-5, autoregressive
+    feedback compounds to ~1e-4 over thesis-length sentences.
 
     Args:
-        model: the TEACHER-FORCED model definition (decode=False); parameters
-            are shared, the decode twin is built internally.
-        max_len: cache capacity (>= the longest sequence to generate).
+        model: the teacher-forced model definition (parameters are shared).
+        max_len: kept for API compatibility; caches are sized to the
+            source length of each call.
     Returns:
         fast_generate(params, src, src_lengths) -> (B, S, C, 2, D); jit it.
     """
-    decode_model = model.clone(decode=True)
-    c, f = model.num_articulators, model.num_feat
+    del max_len
+    c = model.num_articulators
+    f = model.num_feat
+    e = model.embed_dim
+    n_heads = model.num_heads
+    hd = e // n_heads
+    scale = 1.0 / math.sqrt(hd)
+    n_layers = model.num_layers
+    others_idx = jnp.asarray(
+        [[j for j in range(c) if j != i] for i in range(c)]
+    )  # (C, C-1)
+
+    def ln(x, p):
+        return _ln_norm(x) * p["scale"] + p["bias"]
 
     def fast_generate(params, src, src_lengths=None):
         b, s = src.shape
         memory, memory_mask = model.apply(
             {"params": params}, src, src_lengths, method=ArtSpeechTransformer.encode
         )
-        # Initialize per-layer KV caches at full length: an init-mode pass
-        # through decode=True layers creates "cache" vars sized to the input.
-        cache = decode_model.init(
-            jax.random.PRNGKey(0),
-            src,
-            jnp.zeros((b, max_len, c, f), memory.dtype),
-            jnp.full((b,), max_len, jnp.int32),
-            jnp.full((b,), max_len, jnp.int32),
-        )["cache"]
+        dtype = memory.dtype
+        neg = jnp.finfo(dtype).min
+        # memory_mask: (B, 1, 1, S) bool -> additive bias (B, 1, 1, S)
+        mem_bias = (
+            jnp.where(memory_mask, 0.0, neg).astype(dtype)
+            if memory_mask is not None
+            else jnp.zeros((b, 1, 1, memory.shape[1]), dtype)
+        )
+
+        layers = [params[f"decoder_layers_{i}"] for i in range(n_layers)]
+
+        # ---- hoisted: memory K/V through every layer's per-channel
+        # cross-attention (LN -> K/V MLP -> MHA K/V projection) ----
+        mem_norm = _ln_norm(memory)  # (B, S, E), shared across channels
+        mem_kv = []
+        for lp in layers:
+            cp = lp["VmapChannelProcessingLayer_1"]  # stacked (C, ...)
+            ln_p = cp["LayerNorm_0"]
+            src_ln = mem_norm[:, None] * ln_p["scale"][None, :, None] + ln_p["bias"][None, :, None]
+            # (B, C, S, E) -> K/V MLPs (Dense_1/Dense_2) -> MHA k/v projections
+            k_mlp = nn.relu(jnp.einsum("bcse,cef->bcsf", src_ln, cp["Dense_1"]["kernel"]) + cp["Dense_1"]["bias"][None, :, None])
+            v_mlp = nn.relu(jnp.einsum("bcse,cef->bcsf", src_ln, cp["Dense_2"]["kernel"]) + cp["Dense_2"]["bias"][None, :, None])
+            mha = cp["MultiHeadDotProductAttention_0"]
+            k = jnp.einsum("bcsf,cfhd->bcshd", k_mlp, mha["key"]["kernel"]) + mha["key"]["bias"][None, :, None]
+            v = jnp.einsum("bcsf,cfhd->bcshd", v_mlp, mha["value"]["kernel"]) + mha["value"]["bias"][None, :, None]
+            mem_kv.append((k, v))
+
+        pos_table = sinusoidal_positions(5000, e).astype(dtype)
+
+        def mha_out(attended_heads, mha_p):
+            # (B, C, H, hd) x (C, H, hd, E) -> (B, C, E)
+            return (
+                jnp.einsum("bchd,chde->bce", attended_heads, mha_p["out"]["kernel"])
+                + mha_p["out"]["bias"][None]
+            )
 
         def step(carry, t):
-            cache, prev = carry
-            nxt, vars_out = decode_model.apply(
-                {"params": params, "cache": cache},
-                prev,
-                t,
-                memory,
-                memory_mask,
-                method=ArtSpeechTransformer.decode_step,
-                mutable=["cache"],
-            )
-            return (vars_out["cache"], nxt), nxt
+            caches, prev = carry  # prev: (B, C, F)
+            h = ln(prev, {"scale": params["tgt_embed_ln"]["scale"], "bias": params["tgt_embed_ln"]["bias"]})
+            h = nn.relu(jnp.einsum("bcf,fe->bce", h, params["tgt_embed_dense"]["kernel"]) + params["tgt_embed_dense"]["bias"])
+            h = h + pos_table[t]
 
-        prev0 = jnp.zeros((b, c, f), memory.dtype)
-        (_, _), frames = jax.lax.scan(step, (cache, prev0), jnp.arange(s))
+            # causal additive bias over the cache time axis
+            t_bias = jnp.where(jnp.arange(s) <= t, 0.0, neg).astype(dtype)
+
+            new_caches = []
+            for i, lp in enumerate(layers):
+                cache = caches[i]
+                # ---- 1. per-channel causal self attention ----
+                cp = lp["VmapChannelProcessingLayer_0"]
+                h_ln = _ln_norm(h) * cp["LayerNorm_0"]["scale"][None] + cp["LayerNorm_0"]["bias"][None]
+                q_mlp = nn.relu(jnp.einsum("bce,cef->bcf", h_ln, cp["Dense_0"]["kernel"]) + cp["Dense_0"]["bias"][None])
+                k_mlp = nn.relu(jnp.einsum("bce,cef->bcf", h_ln, cp["Dense_1"]["kernel"]) + cp["Dense_1"]["bias"][None])
+                v_mlp = nn.relu(jnp.einsum("bce,cef->bcf", h_ln, cp["Dense_2"]["kernel"]) + cp["Dense_2"]["bias"][None])
+                mha = cp["MultiHeadDotProductAttention_0"]
+                q = jnp.einsum("bcf,cfhd->bchd", q_mlp, mha["query"]["kernel"]) + mha["query"]["bias"][None]
+                k_new = jnp.einsum("bcf,cfhd->bchd", k_mlp, mha["key"]["kernel"]) + mha["key"]["bias"][None]
+                v_new = jnp.einsum("bcf,cfhd->bchd", v_mlp, mha["value"]["kernel"]) + mha["value"]["bias"][None]
+                k_self = jax.lax.dynamic_update_slice_in_dim(cache["k_self"], k_new[:, :, None], t, axis=2)
+                v_self = jax.lax.dynamic_update_slice_in_dim(cache["v_self"], v_new[:, :, None], t, axis=2)
+                logits = jnp.einsum("bchd,bcthd->bcht", q * scale, k_self) + t_bias
+                attn = jax.nn.softmax(logits, axis=-1)
+                av = jnp.einsum("bcht,bcthd->bchd", attn, v_self)
+                proc = q_mlp + mha_out(av, mha)  # (B, C, E)
+
+                # ---- 2. cross-channel interactions ----
+                il = lp["VmapChannelInteractionsLayer_0"]
+                icp = il["VmapChannelProcessingLayer_0"]  # stacked (C, C-1, ...)
+                proc_norm = _ln_norm(proc)  # (B, C, E)
+                iln = icp["LayerNorm_0"]
+                # keys/values from channel c's own frame; queries from others
+                src_ln = proc_norm[:, :, None] * iln["scale"][None] + iln["bias"][None]  # (B,C,C-1,E)
+                tgt_ln = proc_norm[:, others_idx] * iln["scale"][None] + iln["bias"][None]
+                q_mlp_i = nn.relu(jnp.einsum("bcje,cjef->bcjf", tgt_ln, icp["Dense_0"]["kernel"]) + icp["Dense_0"]["bias"][None])
+                k_mlp_i = nn.relu(jnp.einsum("bcje,cjef->bcjf", src_ln, icp["Dense_1"]["kernel"]) + icp["Dense_1"]["bias"][None])
+                v_mlp_i = nn.relu(jnp.einsum("bcje,cjef->bcjf", src_ln, icp["Dense_2"]["kernel"]) + icp["Dense_2"]["bias"][None])
+                imha = icp["MultiHeadDotProductAttention_0"]
+                q_i = jnp.einsum("bcjf,cjfhd->bcjhd", q_mlp_i, imha["query"]["kernel"]) + imha["query"]["bias"][None]
+                k_i = jnp.einsum("bcjf,cjfhd->bcjhd", k_mlp_i, imha["key"]["kernel"]) + imha["key"]["bias"][None]
+                v_i = jnp.einsum("bcjf,cjfhd->bcjhd", v_mlp_i, imha["value"]["kernel"]) + imha["value"]["bias"][None]
+                k_inter = jax.lax.dynamic_update_slice_in_dim(cache["k_inter"], k_i[:, :, :, None], t, axis=3)
+                v_inter = jax.lax.dynamic_update_slice_in_dim(cache["v_inter"], v_i[:, :, :, None], t, axis=3)
+                logits_i = jnp.einsum("bcjhd,bcjthd->bcjht", q_i * scale, k_inter) + t_bias
+                attn_i = jax.nn.softmax(logits_i, axis=-1)
+                av_i = jnp.einsum("bcjht,bcjthd->bcjhd", attn_i, v_inter)
+                out_i = jnp.einsum("bcjhd,cjhde->bcje", av_i, imha["out"]["kernel"]) + imha["out"]["bias"][None]
+                outs = q_mlp_i + out_i  # (B, C, C-1, E)
+                concat = outs.reshape(b, c, (c - 1) * e)
+                concat = _ln_norm(concat) * il["LayerNorm_0"]["scale"][None] + il["LayerNorm_0"]["bias"][None]
+                inter = nn.relu(jnp.einsum("bcx,cxe->bce", concat, il["Dense_0"]["kernel"]) + il["Dense_0"]["bias"][None])
+
+                # ---- 3. cross attention to encoder memory (hoisted K/V) ----
+                cpm = lp["VmapChannelProcessingLayer_1"]
+                inter_ln = _ln_norm(inter) * cpm["LayerNorm_0"]["scale"][None] + cpm["LayerNorm_0"]["bias"][None]
+                q_mlp_m = nn.relu(jnp.einsum("bce,cef->bcf", inter_ln, cpm["Dense_0"]["kernel"]) + cpm["Dense_0"]["bias"][None])
+                mmha = cpm["MultiHeadDotProductAttention_0"]
+                q_m = jnp.einsum("bcf,cfhd->bchd", q_mlp_m, mmha["query"]["kernel"]) + mmha["query"]["bias"][None]
+                mem_k, mem_v = mem_kv[i]
+                logits_m = jnp.einsum("bchd,bcshd->bchs", q_m * scale, mem_k) + mem_bias
+                attn_m = jax.nn.softmax(logits_m, axis=-1)
+                av_m = jnp.einsum("bchs,bcshd->bchd", attn_m, mem_v)
+                attended = q_mlp_m + mha_out(av_m, mmha)
+
+                # ---- 4. FF with pre-LN (shared across channels) ----
+                attended = ln(attended, lp["LayerNorm_0"])
+                h_ff = ln(attended, lp["LayerNorm_1"])
+                ff = nn.relu(jnp.einsum("bce,ef->bcf", h_ff, lp["Dense_0"]["kernel"]) + lp["Dense_0"]["bias"])
+                h = attended + ff
+                new_caches.append({"k_self": k_self, "v_self": v_self, "k_inter": k_inter, "v_inter": v_inter})
+
+            # ---- head ----
+            flat = h.reshape(b, c * e)
+            flat = ln(flat, params["head_ln"])
+            hh = nn.relu(flat @ params["head_dense"]["kernel"] + params["head_dense"]["bias"])
+            pp = params["predictors"]  # stacked (C, ...)
+            h0 = _ln_norm(hh)[:, None] * pp["LayerNorm_0"]["scale"][None] + pp["LayerNorm_0"]["bias"][None]
+            h1 = nn.relu(jnp.einsum("bce,ceg->bcg", h0, pp["Dense_0"]["kernel"]) + pp["Dense_0"]["bias"][None])
+            h1 = _ln_norm(h1) * pp["LayerNorm_1"]["scale"][None] + pp["LayerNorm_1"]["bias"][None]
+            h2 = nn.relu(jnp.einsum("bcg,cgk->bck", h1, pp["Dense_1"]["kernel"]) + pp["Dense_1"]["bias"][None])
+            h2 = _ln_norm(h2) * pp["LayerNorm_2"]["scale"][None] + pp["LayerNorm_2"]["bias"][None]
+            x_pos = jnp.einsum("bck,ckd->bcd", h2, pp["Dense_2"]["kernel"]) + pp["Dense_2"]["bias"][None]
+            y_pos = jnp.einsum("bck,ckd->bcd", h2, pp["Dense_3"]["kernel"]) + pp["Dense_3"]["bias"][None]
+            frame = nn.sigmoid(jnp.stack([x_pos, y_pos], axis=-2)).reshape(b, c, f)
+            return (new_caches, frame), frame
+
+        caches0 = [
+            {
+                "k_self": jnp.zeros((b, c, s, n_heads, hd), dtype),
+                "v_self": jnp.zeros((b, c, s, n_heads, hd), dtype),
+                "k_inter": jnp.zeros((b, c, c - 1, s, n_heads, hd), dtype),
+                "v_inter": jnp.zeros((b, c, c - 1, s, n_heads, hd), dtype),
+            }
+            for _ in range(n_layers)
+        ]
+        prev0 = jnp.zeros((b, c, f), dtype)
+        (_, _), frames = jax.lax.scan(step, (caches0, prev0), jnp.arange(s))
         # frames: (S, B, C, F) -> (B, S, C, 2, D)
         frames = jnp.transpose(frames, (1, 0, 2, 3))
         return frames.reshape(b, s, c, 2, f // 2)

@@ -130,14 +130,16 @@ _mean_p2cp_fast.defvjp(_mean_p2cp_fast_fwd, _mean_p2cp_fast_bwd)
 
 
 def mean_p2cp_auto(u, v):
-    """mean_p2cp with the Pallas kernel on TPU, XLA elsewhere.
+    """mean_p2cp — XLA formula on every backend.
 
-    Measured on v5e at (16,128,11,50,50): the Pallas kernel is never slower
-    and up to 3.8x faster depending on how XLA fuses the surrounding graph
-    (0.026ms vs 0.026-0.098ms across runs; see benchmarks/run_all.py).
-    Differentiable: the backward pass uses the XLA formula."""
-    import jax
-
-    if jax.default_backend() == "tpu" and u.shape[-1] == 2 and u.ndim >= 2:
-        return _mean_p2cp_fast(u, v)
+    History: round-1 timings showed the Pallas kernel "never slower, up to
+    3.8x faster", but those numbers were dispatch-latency artifacts — under
+    the axon tunnel ``block_until_ready`` does not wait for the device (see
+    benchmarks/timing.py). Honest dependency-chained timing on v5e shows XLA
+    ahead at every pipeline shape: 0.79ms vs 1.99ms at (16,128,11,50,2),
+    2.17 vs 2.53 at (12,256,10,50,2), 0.11 vs 0.65 at (1,64,11,50,2)
+    (benchmarks/BENCH_DETAILS.md). The fused broadcast-subtract/reduce maps
+    straight onto the VPU and XLA fuses it into the surrounding graph,
+    which the Pallas call boundary prevents. The kernel is kept in
+    ops/pallas_kernels.py as a measured reference, like the fused GRU."""
     return _mean_p2cp_xla(u, v)

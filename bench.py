@@ -105,15 +105,34 @@ def bench_tpu(grid):
         )(internal, external)
         return contours, internal, external, area
 
-    out = jax.block_until_ready(synthesize(params, tokens, lengths))  # compile
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = synthesize(params, tokens, lengths)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # Dependency-chained timing with a two-point slope: through the axon TPU
+    # tunnel ``block_until_ready`` does NOT wait for device completion (only a
+    # host fetch synchronizes), so each iteration's input must data-depend on
+    # the previous output and the fixed fetch cost is removed by the slope.
+    # See benchmarks/timing.py for the measurement rationale.
+    def chain(carry):
+        toks, _ = carry
+        out = synthesize(params, toks, lengths)
+        anchor = out[-1].ravel()[0]
+        toks_next = toks + (anchor * 0).astype(toks.dtype)
+        return toks_next, anchor
+
+    out = synthesize(params, tokens, lengths)  # compile
     assert all(bool(jnp.isfinite(x).all()) for x in out)
-    return FRAMES * n_iters / dt
+
+    def run(n):
+        c = (tokens, jnp.zeros(()))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = chain(c)
+        float(c[1])  # host fetch forces completion of the whole chain
+        return time.perf_counter() - t0
+
+    run(2)  # warm
+    n1, n2 = 4, 24
+    slopes = sorted((run(n2) - run(n1)) / (n2 - n1) for _ in range(3))
+    dt_per_iter = slopes[1]
+    return FRAMES / dt_per_iter
 
 
 # ---------------------------------------------------------------------------

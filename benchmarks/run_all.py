@@ -1,42 +1,150 @@
-"""Detailed benchmark suite: kernels, train steps, synthesis, data path.
+"""Detailed benchmark suite: kernels, train steps, generate, synthesis, data path.
 
-Writes BENCH_DETAILS.md (markdown table) + bench_details.json next to this
-file. Run on the target hardware:
+Writes BENCH_DETAILS.md (markdown tables incl. roofline/MFU columns) +
+bench_details.json next to this file. Run on the target hardware:
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/run_all.py
+
+FLOP accounting is analytic (formulas below, 1 MAC = 2 FLOPs) because XLA's
+``compiled.cost_analysis()`` counts ``while`` bodies once — every model here
+carries a ``lax.scan`` (GRU time loop, generate loop), so the compiler
+estimate undercounts by the trip count. Backward pass is the standard 2x
+forward (dL/dW + dL/dx matmuls), so a train step is ~3x forward FLOPs.
+
+Timing uses dependency-chained iteration with a two-point slope (see
+timing.py): through the axon tunnel ``block_until_ready`` does NOT wait for
+device completion, so loop-and-block timings measure dispatch, not compute.
+
+Peaks used for utilization (TPU v5e / "v5 lite"): 197 TFLOP/s bf16 MXU,
+819 GB/s HBM. JAX's default matmul precision on TPU computes f32 matmuls
+with one bf16 MXU pass, so bf16 peak is the honest denominator for both
+dtypes. On non-TPU backends utilization columns are omitted.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing import chained_ms, dep
 
-def timeit(fn, *args, iters=20, warmup=1):
-    import jax
-
-    for _ in range(warmup):
-        out = jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts) * 1e3)
+TPU_V5E_PEAK_FLOPS = 197e12  # bf16 MXU
+TPU_V5E_HBM_BPS = 819e9
 
 
-def timeit_varied(fn, args_list, iters=40):
-    """Amortized timing over cycled distinct inputs — defeats any
-    same-operand dispatch fast paths when comparing kernels."""
-    import jax
+# ---------------------------------------------------------------------------
+# Analytic FLOP formulas (1 MAC = 2 FLOPs). Elementwise work is ignored —
+# it is bandwidth, not FLOPs, and the roofline bytes column covers it.
+# ---------------------------------------------------------------------------
 
-    jax.block_until_ready(fn(*args_list[0]))
-    t0 = time.perf_counter()
-    for k in range(iters):
-        out = fn(*args_list[k % len(args_list)])
-    jax.block_until_ready(out)
-    return float((time.perf_counter() - t0) / iters * 1e3)
+
+def dense_flops(tokens, fin, fout):
+    return 2 * tokens * fin * fout
+
+
+def gru_dir_flops(tokens, fin, h):
+    """One GRU direction: 3 gates, input + hidden matmuls per step."""
+    return 2 * tokens * 3 * (fin * h + h * h)
+
+
+def artspeech_fwd_flops(b, t, nart, embed=64, h=128, head_hidden=256, n_samples=50):
+    """models/artspeech_rnn.py: Embed -> 2-layer BiGRU -> Dense -> vmapped heads."""
+    tokens = b * t
+    f = gru_dir_flops(tokens, embed, h) * 2          # layer 1, both directions
+    f += gru_dir_flops(tokens, 2 * h, h) * 2         # layer 2 (concat input)
+    f += dense_flops(tokens, 2 * h, h)               # projection
+    f += nart * (
+        dense_flops(tokens, h, head_hidden)
+        + dense_flops(tokens, head_hidden, head_hidden)
+        + 2 * dense_flops(tokens, head_hidden, n_samples)
+    )
+    return f
+
+
+def ds2_fwd_flops(b, t, d=80, in_c=2, conv_c=32, n_res=4, n_rnn=2, h=64, classes=31):
+    """models/deepspeech2.py: conv stem -> residual CNNs -> Dense -> GRUs -> heads."""
+    pix = b * t * d
+    f = 2 * pix * 9 * in_c * conv_c                  # 3x3 stem
+    f += n_res * 2 * (2 * pix * 9 * conv_c * conv_c)  # 2 convs per residual block
+    tokens = b * t
+    f += dense_flops(tokens, d * conv_c, h)
+    f += n_rnn * gru_dir_flops(tokens, h, h)
+    f += dense_flops(tokens, h, h)                   # feature head
+    f += dense_flops(tokens, h, classes)
+    return f
+
+
+def melspec_fwd_flops(b, t_frames, n_fft=1024, n_mels=80):
+    """In-graph melspec: rFFT as dense work (~5 N log2 N real flops per frame)
+    + mel filterbank matmul. Small next to the network; counted for honesty."""
+    fft = b * t_frames * 5 * n_fft * np.log2(n_fft)
+    mel = 2 * b * t_frames * (n_fft // 2 + 1) * n_mels
+    return int(fft + mel)
+
+
+def transformer_fwd_flops(b, l, s, c, e=64, heads=4, layers=4, enc_ff=2048,
+                          n_feat=100, head_hidden=256):
+    """models/transformer.py teacher-forced forward at decode length l,
+    source length s, c channels. Attention dots count q@k and attn@v."""
+    tok_s = b * s
+    tok_l = b * l
+    enc = layers * (
+        4 * dense_flops(tok_s, e, e)                 # MHA q/k/v/out
+        + 2 * 2 * b * s * s * e                      # qk + av dots
+        + dense_flops(tok_s, e, enc_ff)
+        + dense_flops(tok_s, enc_ff, e)
+    )
+
+    def cpl(tok, src_tok, kv_len):
+        # ChannelProcessingLayer: q/k/v MLPs + MHA projections + dots.
+        return (
+            dense_flops(tok, e, e)                   # query MLP
+            + 2 * dense_flops(src_tok, e, e)         # key/value MLPs
+            + dense_flops(tok, e, e)                 # MHA q proj
+            + 2 * dense_flops(src_tok, e, e)         # MHA k/v proj
+            + dense_flops(tok, e, e)                 # MHA out proj
+            + 2 * 2 * tok * kv_len * e               # qk + av dots
+        )
+
+    dec_layer = (
+        c * cpl(tok_l, tok_l, l)                     # self, per channel
+        + c * (c - 1) * cpl(tok_l, tok_l, l)         # cross-channel
+        + c * dense_flops(tok_l, (c - 1) * e, e)     # interactions concat dense
+        + c * cpl(tok_l, tok_s, s)                   # memory cross
+        + dense_flops(tok_l, e, e)                   # FF (per channel dim folded)
+    )
+    dec = layers * dec_layer
+    embed = dense_flops(tok_l * c, n_feat, e)
+    head = dense_flops(tok_l, c * e, e) + c * (
+        dense_flops(tok_l, e, head_hidden)
+        + dense_flops(tok_l, head_hidden, head_hidden)
+        + 2 * dense_flops(tok_l, head_hidden, n_feat // 2)
+    )
+    return enc + dec + embed + head
+
+
+def transformer_buffer_generate_flops_exact(b, s, c, e=64, heads=4, layers=4,
+                                            enc_ff=2048, n_feat=100):
+    """generate() re-decodes the full (s+1) buffer each of s steps; encoder once."""
+    full = transformer_fwd_flops(b, s + 1, s, c, e, heads, layers, enc_ff, n_feat)
+    enc_only = transformer_fwd_flops(b, 0, s, c, e, heads, layers, enc_ff, n_feat)
+    # decode part of one full pass, re-run s times + one encoder pass
+    return s * (full - enc_only) + enc_only
+
+
+def roofline_cols(ms, flops, bytes_=None, on_tpu=True):
+    if not on_tpu or flops is None:
+        return {}
+    tflops = flops / (ms * 1e-3) / 1e12
+    out = {"tflops_s": round(tflops, 2), "mfu_pct": round(100 * tflops * 1e12 / TPU_V5E_PEAK_FLOPS, 1)}
+    if bytes_:
+        gbs = bytes_ / (ms * 1e-3) / 1e9
+        out["gb_s"] = round(gbs, 1)
+        out["hbm_pct"] = round(100 * gbs * 1e9 / TPU_V5E_HBM_BPS, 1)
+    return out
 
 
 def main():
@@ -51,38 +159,166 @@ def main():
         pass
 
     device = str(jax.devices()[0])
+    on_tpu = jax.default_backend() == "tpu"
     rows = []
 
-    def add(name, ms, detail):
-        rows.append({"benchmark": name, "median_ms": round(ms, 3), "detail": detail})
-        print(f"{name}: {ms:.3f}ms ({detail})")
+    def add(name, ms, detail, flops=None, bytes_=None):
+        row = {"benchmark": name, "median_ms": round(ms, 3), "detail": detail}
+        row.update(roofline_cols(ms, flops, bytes_, on_tpu))
+        rows.append(row)
+        extra = ""
+        if "tflops_s" in row:
+            extra = f" | {row['tflops_s']} TF/s, {row['mfu_pct']}% MXU"
+            if "gb_s" in row:
+                extra += f", {row['gb_s']} GB/s ({row['hbm_pct']}% HBM)"
+        print(f"{name}: {ms:.3f}ms ({detail}){extra}")
 
     rng = np.random.default_rng(0)
 
-    # --- P2CP kernels ---
+    # --- P2CP kernels: the dispatch shape plus eval-realistic shapes ---
     from artspeech_tpu.ops.distances import _mean_p2cp_xla
     from artspeech_tpu.ops.pallas_kernels import mean_p2cp_pallas
 
-    mk = lambda: jnp.asarray(rng.normal(size=(16, 128, 11, 50, 2)).astype(np.float32))
-    pairs = [(mk(), mk()) for _ in range(4)]
-    add("p2cp_xla", timeit_varied(jax.jit(_mean_p2cp_xla), pairs), "(16,128,11,50,2) varied inputs")
-    add("p2cp_pallas", timeit_varied(jax.jit(mean_p2cp_pallas), pairs), "(16,128,11,50,2) varied inputs")
+    for shape in ((16, 128, 11, 50, 2), (12, 256, 10, 50, 2), (1, 64, 11, 50, 2)):
+        u0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        v0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        n = int(np.prod(shape[:-2]))
+        # p2cp bytes: read 2 contour tensors; flops: 50x50 dist matrix per pair
+        fl = n * 50 * 50 * (2 * 2 + 2)  # sub, sq, add per coord pair + sqrt-ish
+        by = 2 * n * 50 * 2 * 4
+        tag = "x".join(map(str, shape))
+        for name, kern in (("xla", _mean_p2cp_xla), ("pallas", mean_p2cp_pallas)):
+            @jax.jit
+            def p2cp_chain(carry, kern=kern):
+                u, v = carry
+                out = kern(u, v)
+                return dep(u, out.ravel()[0]), v
+            ms, _ = chained_ms(p2cp_chain, (u0, v0),
+                               lambda c: float(c[0].ravel()[0]))
+            add(f"p2cp_{name}_{tag}", ms, "chained", fl, by)
 
-    # --- BiGRU train step ---
+    # --- BiGRU train step (varied batches: no same-operand fast path) ---
     from artspeech_tpu.models.artspeech_rnn import ArtSpeech
     from artspeech_tpu.train.state import create_train_state
     from artspeech_tpu.train.step import make_artspeech_train_step
 
+    NART = 10
     for b in (12, 256):
-        model = ArtSpeech(vocab_size=64, n_articulators=10, dropout=0.1)
+        model = ArtSpeech(vocab_size=64, n_articulators=NART, dropout=0.1)
         tokens = jnp.asarray(rng.integers(0, 64, (b, 128)), jnp.int32)
         lengths = jnp.full((b,), 128, jnp.int32)
-        targets = jnp.asarray(rng.uniform(size=(b, 128, 10, 2, 50)).astype(np.float32))
         state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-4)
         step = make_artspeech_train_step(to_mm=220.0, donate=False)
-        batch = {"tokens": tokens, "targets": targets, "lengths": lengths}
-        ms = timeit(lambda s: step(s, batch, jax.random.PRNGKey(0))[1]["loss"], state)
-        add(f"bigru_train_step_b{b}", ms, f"B={b} T=128, {b * 128 / ms * 1e3:,.0f} frames/s")
+        batch = {
+            "tokens": tokens,
+            "targets": jnp.asarray(
+                rng.uniform(size=(b, 128, NART, 2, 50)).astype(np.float32)
+            ),
+            "lengths": lengths,
+        }
+
+        def train_chain(carry, step=step, batch=batch):
+            st, _ = carry
+            st2, m = step(st, batch, jax.random.PRNGKey(0))
+            return st2, m["loss"]
+
+        ms, _ = chained_ms(train_chain, (state, jnp.zeros(())),
+                           lambda c: float(c[1]))
+        fl = 3 * artspeech_fwd_flops(b, 128, NART)
+        add(f"bigru_train_step_b{b}", ms, f"B={b} T=128, {b * 128 / ms * 1e3:,.0f} frames/s", fl)
+
+    # --- DeepSpeech2 recognizer train step (melspec, CTC) ---
+    from artspeech_tpu.models.deepspeech2 import DeepSpeech2
+    from artspeech_tpu.train.recognition_step import make_recognition_train_step
+    from artspeech_tpu.train.state import TrainState
+    import optax
+
+    B_REC, AUDIO_LEN, HOP = 8, 81920, 256
+    T_REC = AUDIO_LEN // HOP + 1
+    ds2 = DeepSpeech2(num_classes=31)
+    rec_batch = {
+        "audio": jnp.asarray(rng.normal(size=(B_REC, AUDIO_LEN)).astype(np.float32)),
+        "input_lengths": jnp.full((B_REC,), T_REC, jnp.int32),
+        "ctc_target": jnp.asarray(rng.integers(1, 31, (B_REC, 40)), jnp.int32),
+        "ctc_target_lengths": jnp.full((B_REC,), 40, jnp.int32),
+    }
+    feats = jnp.zeros((B_REC, 2, 80, T_REC), jnp.float32)
+    params = ds2.init(jax.random.PRNGKey(0), feats,
+                      lengths=rec_batch["input_lengths"])["params"]
+    rec_state = TrainState.create(apply_fn=ds2.apply, params=params, tx=optax.adam(1e-4))
+    rec_step = make_recognition_train_step(ds2, "ctc", "ctc_target", feature="melspec",
+                                           donate=False)
+
+    def rec_chain(carry):
+        st, _ = carry
+        st2, m = rec_step(st, rec_batch, jax.random.PRNGKey(0))
+        return st2, m["loss"]
+
+    ms, _ = chained_ms(rec_chain, (rec_state, jnp.zeros(())), lambda c: float(c[1]))
+    fl = 3 * ds2_fwd_flops(B_REC, T_REC) + melspec_fwd_flops(B_REC, T_REC)
+    add("recognizer_train_step_b8", ms,
+        f"B={B_REC} 5.1s audio T={T_REC} melspec+CTC, {B_REC * T_REC / ms * 1e3:,.0f} frames/s", fl)
+
+    # --- Transformer: teacher-forced train step + generate crossover ---
+    from artspeech_tpu.models.transformer import ArtSpeechTransformer, make_fast_generate
+    from artspeech_tpu.train.step import make_transformer_train_step, shift_targets_right
+
+    C_TR = 10
+    tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1)
+    b_tr, t_tr = 12, 128
+    src = jnp.asarray(rng.integers(0, 64, (b_tr, t_tr)), jnp.int32)
+    tgt = jnp.asarray(rng.uniform(size=(b_tr, t_tr, C_TR, 100)).astype(np.float32))
+    lengths = jnp.full((b_tr,), t_tr, jnp.int32)
+    tr_params = tr.init(jax.random.PRNGKey(0), src, tgt, lengths, lengths)["params"]
+    tr_state = TrainState.create(apply_fn=tr.apply, params=tr_params, tx=optax.adam(1e-4))
+    tr_step = make_transformer_train_step(to_mm=220.0, donate=False)
+    tr_batch = {
+        "tokens": src,
+        "targets": jnp.asarray(
+            rng.uniform(size=(b_tr, t_tr, C_TR, 2, 50)).astype(np.float32)
+        ),
+        "lengths": lengths,
+    }
+
+    def tr_chain(carry):
+        st, _ = carry
+        st2, m = tr_step(st, tr_batch, jax.random.PRNGKey(0))
+        return st2, m["loss"]
+
+    ms, _ = chained_ms(tr_chain, (tr_state, jnp.zeros(())), lambda c: float(c[1]))
+    fl = 3 * transformer_fwd_flops(b_tr, t_tr, t_tr, C_TR)
+    add("transformer_train_step_b12", ms,
+        f"B={b_tr} T={t_tr} C={C_TR}, {b_tr * t_tr / ms * 1e3:,.0f} frames/s", fl)
+
+    B_GEN = 4
+    gen_rows = {}
+    for t_gen in (64, 128, 256):
+        src_g = jnp.asarray(rng.integers(0, 64, (B_GEN, t_gen)), jnp.int32)
+        len_g = jnp.full((B_GEN,), t_gen, jnp.int32)
+        buf_gen = jax.jit(
+            lambda p, s, l: tr.apply({"params": p}, s, l,
+                                     method=ArtSpeechTransformer.generate)
+        )
+        fast_gen = jax.jit(make_fast_generate(tr, t_gen))
+        fl_buf = transformer_buffer_generate_flops_exact(B_GEN, t_gen, C_TR)
+
+        def gen_chain_of(g):
+            def gen_chain(carry):
+                src_c, _ = carry
+                frames = g(tr_params, src_c, len_g)
+                anchor = frames.ravel()[0]
+                return dep(src_c, anchor), anchor
+            return gen_chain
+
+        ms_buf, _ = chained_ms(gen_chain_of(buf_gen), (src_g, jnp.zeros(())),
+                               lambda c: float(c[1]), n1=2, n2=12)
+        add(f"transformer_generate_buffer_T{t_gen}", ms_buf,
+            f"B={B_GEN}, {B_GEN * t_gen / ms_buf * 1e3:,.0f} frames/s", fl_buf)
+        ms_fast, _ = chained_ms(gen_chain_of(fast_gen), (src_g, jnp.zeros(())),
+                                lambda c: float(c[1]), n1=2, n2=12)
+        add(f"transformer_generate_cached_T{t_gen}", ms_fast,
+            f"B={B_GEN}, {B_GEN * t_gen / ms_fast * 1e3:,.0f} frames/s")
+        gen_rows[t_gen] = (ms_buf, ms_fast)
 
     # --- fused synthesis pipeline ---
     from artspeech_tpu.core import constants as C
@@ -104,8 +340,15 @@ def main():
         area = jax.vmap(lambda i, e: tube_area_function(i, e))(internal, external)
         return area
 
-    ms = timeit(synthesize, params, tokens, lengths)
-    add("synthesis_e2e", ms, f"2048 frames, {2048 / ms * 1e3:,.0f} frames/s")
+    def synth_chain(carry):
+        toks, _ = carry
+        area = synthesize(params, toks, lengths)
+        anchor = area.ravel()[0]
+        return dep(toks, anchor), anchor
+
+    ms, _ = chained_ms(synth_chain, (tokens, jnp.zeros(())), lambda c: float(c[1]))
+    add("synthesis_e2e", ms, f"2048 frames, {2048 / ms * 1e3:,.0f} frames/s",
+        artspeech_fwd_flops(16, 128, 11))
 
     # --- native contour loader ---
     import tempfile
@@ -135,9 +378,27 @@ def main():
         json.dump({"device": device, "results": rows}, f, indent=2)
     with open(os.path.join(out_dir, "BENCH_DETAILS.md"), "w") as f:
         f.write(f"# Benchmark details\n\nDevice: {device}\n\n")
-        f.write("| benchmark | median ms | detail |\n|---|---|---|\n")
+        f.write("| benchmark | median ms | TFLOP/s | % MXU peak | GB/s | % HBM | detail |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
         for r in rows:
-            f.write(f"| {r['benchmark']} | {r['median_ms']} | {r['detail']} |\n")
+            f.write(
+                f"| {r['benchmark']} | {r['median_ms']} | {r.get('tflops_s', '')} "
+                f"| {r.get('mfu_pct', '')} | {r.get('gb_s', '')} | {r.get('hbm_pct', '')} "
+                f"| {r['detail']} |\n"
+            )
+        f.write(
+            "\nFLOPs are analytic (see run_all.py header): XLA's cost analysis counts\n"
+            "`while` bodies once, so compiler estimates undercount scan-based models.\n"
+            "Peaks: TPU v5e 197 TFLOP/s bf16 MXU, 819 GB/s HBM. All device timings\n"
+            "use dependency-chained iteration + a two-point slope (timing.py):\n"
+            "through the axon tunnel block_until_ready does NOT wait for device\n"
+            "completion, so only chained work with a final host fetch is honest.\n"
+        )
+        if gen_rows:
+            f.write("\n## Generate crossover (buffer re-decode vs KV-cached)\n\n")
+            f.write("| T | buffer ms | cached ms | speedup |\n|---|---|---|---|\n")
+            for t_gen, (mb, mf) in sorted(gen_rows.items()):
+                f.write(f"| {t_gen} | {mb:.1f} | {mf:.1f} | {mb / mf:.2f}x |\n")
     print("wrote BENCH_DETAILS.md")
 
 

@@ -1,0 +1,75 @@
+"""Honest device timing under the axon TPU tunnel.
+
+Through the axon plugin, ``jax.block_until_ready`` returns WITHOUT waiting
+for device completion — only an actual host fetch of a pending value
+synchronizes (measured: an 8192^3 f32 matmul "completes" in 0.03ms under
+block_until_ready but takes 31ms when the scalar result is fetched; a fetch
+of a pending value costs ~25ms tunnel round-trip). Any timing loop built on
+block_until_ready therefore measures dispatch latency, not device time.
+
+This module times a *dependency-chained* iteration instead: each step's
+input depends on the previous step's output, so the device must execute
+every step, and one scalar fetch at the end forces completion of the whole
+chain. The fixed fetch/RTT cost is removed with a two-point slope:
+
+    ms_per_iter = (T(n2 iters + fetch) - T(n1 iters + fetch)) / (n2 - n1)
+
+which is exact for any constant per-measurement overhead.
+"""
+
+import time
+
+
+def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3):
+    """Median per-iteration wall time (ms) of a dependency-chained step.
+
+    Args:
+        step: carry -> carry; must make the next input data-depend on the
+            previous output (e.g. ``x + 0 * prev_scalar``) so the runtime
+            cannot reorder or skip work.
+        carry0: initial device carry (already warm/compiled inputs are fine;
+            the first chained call is used as warmup and discarded).
+        fetch: carry -> float; a tiny host fetch that forces completion.
+        n1: short-chain length.
+        n2: long-chain length; if None, sized so the long chain spans
+            ~target_ms of device work (>= n1 + 16).
+        repeats: slope is measured this many times; median returned.
+    Returns:
+        (ms_per_iter, carry) — the carry is returned so callers can fetch
+        values or chain further measurements.
+    """
+    carry = step(carry0)
+    fetch(carry)  # compile + warm
+
+    if n2 is None:
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(8):
+            c = step(c)
+        fetch(c)
+        rough = max((time.perf_counter() - t0) / 8.0, 1e-5)
+        n2 = n1 + max(16, min(512, int(target_ms * 1e-3 / rough)))
+
+    slopes = []
+    for _ in range(repeats):
+        c = carry
+        t0 = time.perf_counter()
+        for _ in range(n1):
+            c = step(c)
+        fetch(c)
+        t_short = time.perf_counter() - t0
+
+        c = carry
+        t0 = time.perf_counter()
+        for _ in range(n2):
+            c = step(c)
+        fetch(c)
+        t_long = time.perf_counter() - t0
+        slopes.append((t_long - t_short) / (n2 - n1))
+    slopes.sort()
+    return float(slopes[len(slopes) // 2] * 1e3), carry
+
+
+def dep(x, scalar):
+    """Make ``x`` data-depend on ``scalar`` without changing its value."""
+    return x + (scalar * 0).astype(x.dtype)
