@@ -25,6 +25,7 @@ class ArtSpeech(nn.Module):
     n_samples: int = 50
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    fuse_gru_directions: Optional[bool] = None  # None = auto by batch (ops/gru.py)
 
     @nn.compact
     def __call__(self, tokens, lengths, deterministic: bool = True):
@@ -42,6 +43,7 @@ class ArtSpeech(nn.Module):
             num_layers=2,
             dropout=self.dropout,
             dtype=self.dtype,
+            fuse_directions=self.fuse_gru_directions,
         )(embed, mask, deterministic=deterministic)
         h = nn.Dense(self.hidden_size, dtype=self.dtype)(rnn_out)
         h = nn.relu(h)

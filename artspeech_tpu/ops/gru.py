@@ -35,11 +35,18 @@ def torch_rnn_init(hidden_size: int):
 
 
 class GRULayer(nn.Module):
-    """Single-direction masked GRU over (B, T, E) -> (B, T, H)."""
+    """Single-direction masked GRU over (B, T, E) -> (B, T, H).
+
+    With ``project_only=True`` the call declares the same parameters but
+    returns the hoisted pieces ``(x_proj, w_h, b_h, mask)`` (already
+    direction-reversed) instead of running the scan — used by ``BiGRU`` to
+    fuse both directions into one scan without changing the param tree.
+    """
 
     hidden_size: int
     reverse: bool = False
     dtype: Optional[jnp.dtype] = None
+    project_only: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
@@ -73,24 +80,47 @@ class GRULayer(nn.Module):
         w_h_c = w_h.astype(dtype)
         b_h_c = b_h.astype(dtype)
 
-        def step(h, inputs):
-            xg, m = inputs  # (B, 3H), (B,)
-            hg = h @ w_h_c + b_h_c
-            r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
-            z = jax.nn.sigmoid(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
-            n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
-            h_new = (1.0 - z) * n + z * h
-            h_new = jnp.where(m[:, None], h_new, h)
-            return h_new, h_new
+        if self.project_only:
+            return x_proj, w_h_c, b_h_c, mask
 
-        h0 = jnp.zeros((batch, hidden), dtype)
-        _, ys = jax.lax.scan(
-            step, h0, (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1))
-        )
-        ys = ys.swapaxes(0, 1)  # (B, T, H)
+        ys = _gru_scan(x_proj, w_h_c, b_h_c, mask, hidden)
         if self.reverse:
             ys = ys[:, ::-1]
         return ys
+
+
+def _gru_scan(x_proj, w_h, b_h, mask, hidden):
+    """Masked GRU recurrence over hoisted input projections.
+
+    Batch-polymorphic: leading axes of ``x_proj``/``mask``/``w_h`` may carry
+    an extra direction axis (w_h (D, H, 3H) with x_proj (D, B, T, 3H)) —
+    the matmul becomes a batched einsum either way.
+    """
+    batch_shape = x_proj.shape[:-2]
+    t = x_proj.shape[-2]
+
+    def matmul(h, w):
+        if w.ndim == 2:
+            return h @ w
+        return jnp.einsum("d...h,dhg->d...g", h, w)
+
+    b_b = b_h if b_h.ndim == 1 else b_h[:, None, :]
+
+    def step(h, inputs):
+        xg, m = inputs  # (..., 3H), (...,)
+        hg = matmul(h, w_h) + b_b
+        r = jax.nn.sigmoid(xg[..., :hidden] + hg[..., :hidden])
+        z = jax.nn.sigmoid(xg[..., hidden : 2 * hidden] + hg[..., hidden : 2 * hidden])
+        n = jnp.tanh(xg[..., 2 * hidden :] + r * hg[..., 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(m[..., None], h_new, h)
+        return h_new, h_new
+
+    h0 = jnp.zeros(batch_shape + (hidden,), x_proj.dtype)
+    _, ys = jax.lax.scan(
+        step, h0, (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0))
+    )
+    return jnp.moveaxis(ys, 0, -2)  # (..., T, H)
 
 
 class BiGRU(nn.Module):
@@ -105,14 +135,45 @@ class BiGRU(nn.Module):
     num_layers: int = 2
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    #: None = auto: fuse both directions into ONE scan (stacked direction
+    #: axis, batched einsum recurrence) for small batches, where per-scan
+    #: fixed costs dominate; keep XLA's overlapped twin scans for large
+    #: batches, where the wider fused matmul serializes worse. Interleaved
+    #: paired timing on v5e at the thesis batch (B=12, T=128): median 1.11x
+    #: full-train-step speedup, noise-limited (tunnel throughput drifts
+    #: +/-50% run-to-run); at B=256 twin scans measured ahead. Threshold
+    #: B<=16 covers the thesis batch. The param tree is identical either
+    #: way (GRULayer declares its params in project_only mode).
+    fuse_directions: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        fuse = self.fuse_directions
+        if fuse is None:
+            fuse = x.shape[0] <= 16
         out = x
         for layer in range(self.num_layers):
-            fwd = GRULayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
-            bwd = GRULayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
-            out = jnp.concatenate([fwd, bwd], axis=-1)
+            if fuse:
+                xp_f, wh_f, bh_f, mask_f = GRULayer(
+                    self.hidden_size, reverse=False, dtype=self.dtype,
+                    project_only=True,
+                )(out, mask)
+                xp_b, wh_b, bh_b, mask_b = GRULayer(
+                    self.hidden_size, reverse=True, dtype=self.dtype,
+                    project_only=True,
+                )(out, mask)
+                ys = _gru_scan(
+                    jnp.stack([xp_f, xp_b]),
+                    jnp.stack([wh_f, wh_b]),
+                    jnp.stack([bh_f, bh_b]),
+                    jnp.stack([mask_f, mask_b]),
+                    self.hidden_size,
+                )  # (2, B, T, H)
+                out = jnp.concatenate([ys[0], ys[1][:, ::-1]], axis=-1)
+            else:
+                fwd = GRULayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
+                bwd = GRULayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         return out
