@@ -11,6 +11,7 @@ from artspeech_tpu.eval.artifacts import (
 )
 from artspeech_tpu.eval.decoders import (
     beam_ctc_decode,
+    beam_ctc_decode_device,
     decode_to_strings,
     greedy_ctc_decode,
 )

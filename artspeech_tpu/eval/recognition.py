@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from artspeech_tpu.core.constants import CLASSES_NAMES, PHONETIC_CLASSES
-from artspeech_tpu.eval.decoders import beam_ctc_decode, decode_to_strings
+from artspeech_tpu.eval.decoders import beam_ctc_decode_device, decode_to_strings
 from artspeech_tpu.eval.recognition_metrics import (
     substitution_matrix,
     word_error_rate,
@@ -87,10 +87,16 @@ def run_recognition_test(
         losses.append(float(result["loss"]))
 
         if use_beam:
-            decoded = beam_ctc_decode(
-                result["log_probs"], lengths, beam_width=beam_width
+            # In-graph vectorized prefix beam search (decoders.py): exact
+            # merge, no per-frame candidate restriction, batched on device.
+            btoks, blens = jax.device_get(
+                beam_ctc_decode_device(
+                    result["log_probs"], lengths, beam_width=beam_width
+                )
             )
-            dec_ids = [decoded[i] for i in np.nonzero(valid)[0]]
+            dec_ids = [
+                list(map(int, btoks[i, : blens[i]])) for i in np.nonzero(valid)[0]
+            ]
         else:
             toks, tlens = result["decoded"], result["decoded_lengths"]
             dec_ids = [

@@ -199,31 +199,62 @@ class GRUStack(nn.Module):
 
 class BiLSTM(nn.Module):
     """Stacked bidirectional LSTM (RNNType.LSTM option of the latent
-    sequence model, reference phoneme_to_articulation/__init__.py:47-49)."""
+    sequence model, reference phoneme_to_articulation/__init__.py:47-49).
+
+    ``fuse_directions`` as in :class:`BiGRU` (None = auto by batch size).
+    """
 
     hidden_size: int
     num_layers: int = 2
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    fuse_directions: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        fuse = self.fuse_directions
+        if fuse is None:
+            fuse = x.shape[0] <= 16
         out = x
         for layer in range(self.num_layers):
-            fwd = LSTMLayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
-            bwd = LSTMLayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
-            out = jnp.concatenate([fwd, bwd], axis=-1)
+            if fuse:
+                xp_f, wh_f, bh_f, mask_f = LSTMLayer(
+                    self.hidden_size, reverse=False, dtype=self.dtype,
+                    project_only=True,
+                )(out, mask)
+                xp_b, wh_b, bh_b, mask_b = LSTMLayer(
+                    self.hidden_size, reverse=True, dtype=self.dtype,
+                    project_only=True,
+                )(out, mask)
+                ys = _lstm_scan(
+                    jnp.stack([xp_f, xp_b]),
+                    jnp.stack([wh_f, wh_b]),
+                    jnp.stack([bh_f, bh_b]),
+                    jnp.stack([mask_f, mask_b]),
+                    self.hidden_size,
+                )  # (2, B, T, H)
+                out = jnp.concatenate([ys[0], ys[1][:, ::-1]], axis=-1)
+            else:
+                fwd = LSTMLayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
+                bwd = LSTMLayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         return out
 
 
 class LSTMLayer(nn.Module):
-    """Single-direction masked LSTM (torch gate order i, f, g, o)."""
+    """Single-direction masked LSTM (torch gate order i, f, g, o).
+
+    ``project_only`` as in :class:`GRULayer`: declare the same params but
+    return the hoisted ``(x_proj, w_h, b_h, mask)`` for a direction-fused
+    scan in the parent.
+    """
 
     hidden_size: int
     reverse: bool = False
     dtype: Optional[jnp.dtype] = None
+    project_only: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
@@ -245,27 +276,44 @@ class LSTMLayer(nn.Module):
         w_h_c = w_h.astype(dtype)
         b_h_c = b_h.astype(dtype)
 
-        def step(carry, inputs):
-            h, c = carry
-            xg, m = inputs
-            hg = h @ w_h_c + b_h_c
-            gates = xg + hg
-            i = jax.nn.sigmoid(gates[:, :hidden])
-            f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
-            g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-            o = jax.nn.sigmoid(gates[:, 3 * hidden :])
-            c_new = f * c + i * g
-            h_new = o * jnp.tanh(c_new)
-            keep = m[:, None]
-            h_new = jnp.where(keep, h_new, h)
-            c_new = jnp.where(keep, c_new, c)
-            return (h_new, c_new), h_new
+        if self.project_only:
+            return x_proj, w_h_c, b_h_c, mask
 
-        h0 = jnp.zeros((batch, hidden), dtype)
-        (_, _), ys = jax.lax.scan(
-            step, (h0, h0), (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1))
-        )
-        ys = ys.swapaxes(0, 1)
+        ys = _lstm_scan(x_proj, w_h_c, b_h_c, mask, hidden)
         if self.reverse:
             ys = ys[:, ::-1]
         return ys
+
+
+def _lstm_scan(x_proj, w_h, b_h, mask, hidden):
+    """Masked LSTM recurrence over hoisted input projections; leading axes
+    may carry a direction axis exactly as in :func:`_gru_scan`."""
+    batch_shape = x_proj.shape[:-2]
+
+    def matmul(h, w):
+        if w.ndim == 2:
+            return h @ w
+        return jnp.einsum("d...h,dhg->d...g", h, w)
+
+    b_b = b_h if b_h.ndim == 1 else b_h[:, None, :]
+
+    def step(carry, inputs):
+        h, c = carry
+        xg, m = inputs
+        gates = xg + matmul(h, w_h) + b_b
+        i = jax.nn.sigmoid(gates[..., :hidden])
+        f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden :])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        keep = m[..., None]
+        h_new = jnp.where(keep, h_new, h)
+        c_new = jnp.where(keep, c_new, c)
+        return (h_new, c_new), h_new
+
+    h0 = jnp.zeros(batch_shape + (hidden,), x_proj.dtype)
+    (_, _), ys = jax.lax.scan(
+        step, (h0, h0), (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0))
+    )
+    return jnp.moveaxis(ys, 0, -2)

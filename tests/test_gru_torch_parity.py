@@ -116,3 +116,31 @@ def test_torch_rnn_init_symmetric():
         assert w.min() < -bound * 0.5, name  # negative mass present
         assert abs(w.mean()) < bound * 0.2, name  # roughly zero-centered
         assert np.abs(w).max() <= bound + 1e-6, name
+
+
+def test_direction_fused_scan_matches_twin_scans():
+    """BiGRU/BiLSTM fuse_directions=True (one stacked-direction scan) must
+    be bit-identical to the twin-scan path on the same params, including
+    ragged masks (the fused carry freezes per-direction at padded steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from artspeech_tpu.ops.gru import BiGRU, BiLSTM
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(3, 9, 6)).astype(np.float32))
+    mask = jnp.asarray(np.arange(9)[None, :] < np.array([[9], [5], [7]]))
+    for cls in (BiGRU, BiLSTM):
+        fused = cls(hidden_size=8, num_layers=2, fuse_directions=True)
+        twin = cls(hidden_size=8, num_layers=2, fuse_directions=False)
+        params = fused.init(jax.random.PRNGKey(0), x, mask)["params"]
+        # identical param trees: the fused path declares via project_only
+        ref = twin.init(jax.random.PRNGKey(0), x, mask)["params"]
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(ref)
+        out_f = fused.apply({"params": params}, x, mask)
+        out_t = twin.apply({"params": params}, x, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_t), atol=1e-6,
+            err_msg=cls.__name__,
+        )

@@ -99,7 +99,7 @@ def test_local_tracker(tmp_path):
 
 
 def test_run_recognition_test_beam_path(tmp_path):
-    """use_beam=True goes through the host prefix beam search."""
+    """use_beam=True goes through the in-graph device beam search."""
     import optax
 
     from artspeech_tpu.core.vocab import build_vocabulary
