@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from timing import chained_ms, dep
+from timing import chained_ms, dep, profile_ms
 
 TPU_V5E_PEAK_FLOPS = 197e12  # bf16 MXU
 TPU_V5E_HBM_BPS = 819e9
@@ -147,6 +147,13 @@ def roofline_cols(ms, flops, bytes_=None, on_tpu=True):
     return out
 
 
+def measure(step, carry0, fetch, **kw):
+    """Wall-clock slope (incl. tunnel dispatch) + on-device profiler time."""
+    ms, _ = chained_ms(step, carry0, fetch, **kw)
+    dev_ms, _ = profile_ms(step, carry0, fetch)
+    return ms, dev_ms
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -162,13 +169,17 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     rows = []
 
-    def add(name, ms, detail, flops=None, bytes_=None):
+    def add(name, ms, detail, flops=None, bytes_=None, device_ms=None):
         row = {"benchmark": name, "median_ms": round(ms, 3), "detail": detail}
-        row.update(roofline_cols(ms, flops, bytes_, on_tpu))
+        if device_ms is not None:
+            row["device_ms"] = round(device_ms, 3)
+        # Utilization is computed on DEVICE time when available (production-
+        # representative; wall time adds the tunnel's per-program dispatch).
+        row.update(roofline_cols(device_ms or ms, flops, bytes_, on_tpu))
         rows.append(row)
-        extra = ""
+        extra = f" | device {device_ms:.3f}ms" if device_ms is not None else ""
         if "tflops_s" in row:
-            extra = f" | {row['tflops_s']} TF/s, {row['mfu_pct']}% MXU"
+            extra += f" | {row['tflops_s']} TF/s, {row['mfu_pct']}% MXU"
             if "gb_s" in row:
                 extra += f", {row['gb_s']} GB/s ({row['hbm_pct']}% HBM)"
         print(f"{name}: {ms:.3f}ms ({detail}){extra}")
@@ -193,9 +204,9 @@ def main():
                 u, v = carry
                 out = kern(u, v)
                 return dep(u, out.ravel()[0]), v
-            ms, _ = chained_ms(p2cp_chain, (u0, v0),
-                               lambda c: float(c[0].ravel()[0]))
-            add(f"p2cp_{name}_{tag}", ms, "chained", fl, by)
+            ms, dev = measure(p2cp_chain, (u0, v0),
+                              lambda c: float(c[0].ravel()[0]))
+            add(f"p2cp_{name}_{tag}", ms, "chained", fl, by, device_ms=dev)
 
     # --- BiGRU train step (varied batches: no same-operand fast path) ---
     from artspeech_tpu.models.artspeech_rnn import ArtSpeech
@@ -222,10 +233,12 @@ def main():
             st2, m = step(st, batch, jax.random.PRNGKey(0))
             return st2, m["loss"]
 
-        ms, _ = chained_ms(train_chain, (state, jnp.zeros(())),
-                           lambda c: float(c[1]))
+        ms, dev = measure(train_chain, (state, jnp.zeros(())),
+                          lambda c: float(c[1]))
         fl = 3 * artspeech_fwd_flops(b, 128, NART)
-        add(f"bigru_train_step_b{b}", ms, f"B={b} T=128, {b * 128 / ms * 1e3:,.0f} frames/s", fl)
+        fps = b * 128 / (dev or ms) * 1e3
+        add(f"bigru_train_step_b{b}", ms, f"B={b} T=128, {fps:,.0f} frames/s", fl,
+            device_ms=dev)
 
     # --- DeepSpeech2 recognizer train step (melspec, CTC) ---
     from artspeech_tpu.models.deepspeech2 import DeepSpeech2
@@ -254,10 +267,11 @@ def main():
         st2, m = rec_step(st, rec_batch, jax.random.PRNGKey(0))
         return st2, m["loss"]
 
-    ms, _ = chained_ms(rec_chain, (rec_state, jnp.zeros(())), lambda c: float(c[1]))
+    ms, dev = measure(rec_chain, (rec_state, jnp.zeros(())), lambda c: float(c[1]))
     fl = 3 * ds2_fwd_flops(B_REC, T_REC) + melspec_fwd_flops(B_REC, T_REC)
     add("recognizer_train_step_b8", ms,
-        f"B={B_REC} 5.1s audio T={T_REC} melspec+CTC, {B_REC * T_REC / ms * 1e3:,.0f} frames/s", fl)
+        f"B={B_REC} 5.1s audio T={T_REC} melspec+CTC, "
+        f"{B_REC * T_REC / (dev or ms) * 1e3:,.0f} frames/s", fl, device_ms=dev)
 
     # --- Transformer: teacher-forced train step + generate crossover ---
     from artspeech_tpu.models.transformer import ArtSpeechTransformer, make_fast_generate
@@ -285,10 +299,11 @@ def main():
         st2, m = tr_step(st, tr_batch, jax.random.PRNGKey(0))
         return st2, m["loss"]
 
-    ms, _ = chained_ms(tr_chain, (tr_state, jnp.zeros(())), lambda c: float(c[1]))
+    ms, dev = measure(tr_chain, (tr_state, jnp.zeros(())), lambda c: float(c[1]))
     fl = 3 * transformer_fwd_flops(b_tr, t_tr, t_tr, C_TR)
     add("transformer_train_step_b12", ms,
-        f"B={b_tr} T={t_tr} C={C_TR}, {b_tr * t_tr / ms * 1e3:,.0f} frames/s", fl)
+        f"B={b_tr} T={t_tr} C={C_TR}, {b_tr * t_tr / (dev or ms) * 1e3:,.0f} frames/s",
+        fl, device_ms=dev)
 
     B_GEN = 4
     gen_rows = {}
@@ -310,15 +325,17 @@ def main():
                 return dep(src_c, anchor), anchor
             return gen_chain
 
-        ms_buf, _ = chained_ms(gen_chain_of(buf_gen), (src_g, jnp.zeros(())),
-                               lambda c: float(c[1]), n1=2, n2=12)
+        ms_buf, dev_buf = measure(gen_chain_of(buf_gen), (src_g, jnp.zeros(())),
+                                  lambda c: float(c[1]), n1=2, n2=12)
         add(f"transformer_generate_buffer_T{t_gen}", ms_buf,
-            f"B={B_GEN}, {B_GEN * t_gen / ms_buf * 1e3:,.0f} frames/s", fl_buf)
-        ms_fast, _ = chained_ms(gen_chain_of(fast_gen), (src_g, jnp.zeros(())),
-                                lambda c: float(c[1]), n1=2, n2=12)
+            f"B={B_GEN}, {B_GEN * t_gen / (dev_buf or ms_buf) * 1e3:,.0f} frames/s",
+            fl_buf, device_ms=dev_buf)
+        ms_fast, dev_fast = measure(gen_chain_of(fast_gen), (src_g, jnp.zeros(())),
+                                    lambda c: float(c[1]), n1=2, n2=12)
         add(f"transformer_generate_cached_T{t_gen}", ms_fast,
-            f"B={B_GEN}, {B_GEN * t_gen / ms_fast * 1e3:,.0f} frames/s")
-        gen_rows[t_gen] = (ms_buf, ms_fast)
+            f"B={B_GEN}, {B_GEN * t_gen / (dev_fast or ms_fast) * 1e3:,.0f} frames/s",
+            device_ms=dev_fast)
+        gen_rows[t_gen] = (dev_buf or ms_buf, dev_fast or ms_fast)
 
     # --- fused synthesis pipeline ---
     from artspeech_tpu.core import constants as C
@@ -346,9 +363,9 @@ def main():
         anchor = area.ravel()[0]
         return dep(toks, anchor), anchor
 
-    ms, _ = chained_ms(synth_chain, (tokens, jnp.zeros(())), lambda c: float(c[1]))
-    add("synthesis_e2e", ms, f"2048 frames, {2048 / ms * 1e3:,.0f} frames/s",
-        artspeech_fwd_flops(16, 128, 11))
+    ms, dev = measure(synth_chain, (tokens, jnp.zeros(())), lambda c: float(c[1]))
+    add("synthesis_e2e", ms, f"2048 frames, {2048 / (dev or ms) * 1e3:,.0f} frames/s",
+        artspeech_fwd_flops(16, 128, 11), device_ms=dev)
 
     # --- native contour loader ---
     import tempfile
@@ -378,21 +395,23 @@ def main():
         json.dump({"device": device, "results": rows}, f, indent=2)
     with open(os.path.join(out_dir, "BENCH_DETAILS.md"), "w") as f:
         f.write(f"# Benchmark details\n\nDevice: {device}\n\n")
-        f.write("| benchmark | median ms | TFLOP/s | % MXU peak | GB/s | % HBM | detail |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+        f.write("| benchmark | wall ms | device ms | TFLOP/s | % MXU peak | GB/s | % HBM | detail |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
-                f"| {r['benchmark']} | {r['median_ms']} | {r.get('tflops_s', '')} "
+                f"| {r['benchmark']} | {r['median_ms']} | {r.get('device_ms', '')} "
+                f"| {r.get('tflops_s', '')} "
                 f"| {r.get('mfu_pct', '')} | {r.get('gb_s', '')} | {r.get('hbm_pct', '')} "
                 f"| {r['detail']} |\n"
             )
         f.write(
             "\nFLOPs are analytic (see run_all.py header): XLA's cost analysis counts\n"
             "`while` bodies once, so compiler estimates undercount scan-based models.\n"
-            "Peaks: TPU v5e 197 TFLOP/s bf16 MXU, 819 GB/s HBM. All device timings\n"
-            "use dependency-chained iteration + a two-point slope (timing.py):\n"
-            "through the axon tunnel block_until_ready does NOT wait for device\n"
-            "completion, so only chained work with a final host fetch is honest.\n"
+            "Peaks: TPU v5e 197 TFLOP/s bf16 MXU, 819 GB/s HBM. 'wall ms' is the\n"
+            "dependency-chained two-point slope (timing.py) and includes the axon\n"
+            "tunnel's per-program dispatch (block_until_ready does NOT wait there);\n"
+            "'device ms' is the jit computation's span from a jax.profiler trace —\n"
+            "the production-representative number; utilization uses device time.\n"
         )
         if gen_rows:
             f.write("\n## Generate crossover (buffer re-decode vs KV-cached)\n\n")

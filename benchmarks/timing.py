@@ -73,3 +73,60 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3):
 def dep(x, scalar):
     """Make ``x`` data-depend on ``scalar`` without changing its value."""
     return x + (scalar * 0).astype(x.dtype)
+
+
+def profile_ms(step, carry0, fetch, iters=6):
+    """Median on-DEVICE milliseconds of the dominant jitted computation per
+    chained iteration, from a jax.profiler trace.
+
+    The wall-clock slope (chained_ms) includes the tunnel's per-program
+    dispatch cost (~1-4ms, drifts run-to-run); the profiler records actual
+    TPU execution spans, which is the production-representative number.
+    Returns (median_ms, event_name) for the longest-total 'jit_*' device
+    event, or (None, None) if the trace exposes no device events (e.g. CPU
+    backend).
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    import jax
+
+    carry = step(carry0)
+    fetch(carry)  # compile + warm outside the trace
+    tmp = tempfile.mkdtemp(prefix="jaxtrace_")
+    with jax.profiler.trace(tmp):
+        c = carry
+        for _ in range(iters):
+            c = step(c)
+        fetch(c)
+
+    traces = glob.glob(os.path.join(tmp, "plugins", "profile", "*", "*.trace.json.gz"))
+    if not traces:
+        return None, None
+    data = json.load(gzip.open(sorted(traces)[-1]))
+    events = data.get("traceEvents", [])
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "device:" in str(e.get("args", {}).get("name", ""))
+        and "CPU" not in str(e.get("args", {}).get("name", ""))
+    }
+    per_name = {}
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in device_pids
+            and str(e.get("name", "")).startswith("jit_")
+            and "dur" in e
+        ):
+            per_name.setdefault(e["name"], []).append(e["dur"])
+    if not per_name:
+        return None, None
+    name, durs = max(per_name.items(), key=lambda kv: sum(kv[1]))
+    durs.sort()
+    return durs[len(durs) // 2] / 1e3, name
