@@ -65,7 +65,7 @@ def build_forward(cfg, vocabulary, articulators):
         # aux_model_params carries the frozen-AE dims (reference
         # generate_vocal_tract_shape_autoencoder.yaml aux_model_params).
         ae_cfg = {**cfg, **(cfg.get("aux_model_params") or {})}
-        _, decode_fn = build_frozen_ae(ae_cfg, indices_dict, arts)
+        _, decode_fn = build_frozen_ae(ae_cfg, indices_dict, arts, require_encoder=False)
         rnn = PrincipalComponentsArtSpeech(
             vocab_size=len(vocabulary),
             indices_dict=indices_dict,

@@ -42,7 +42,7 @@ def main(cfg, args, tracker):
 
     norm_stats = load_norm_stats(datadir, articulators)
     denorm_mean, denorm_std = stack_norm_stats(norm_stats, articulators)
-    _, decode_fn = build_frozen_ae(cfg, indices_dict, articulators)
+    _, decode_fn = build_frozen_ae(cfg, indices_dict, articulators, require_encoder=False)
 
     model = PrincipalComponentsArtSpeech(
         vocab_size=len(vocabulary),

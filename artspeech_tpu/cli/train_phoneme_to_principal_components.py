@@ -49,13 +49,18 @@ from artspeech_tpu.train.state import count_parameters, create_train_state
 from artspeech_tpu.utils.io import sequences_from_dict
 
 
-def build_frozen_ae(cfg, indices_dict, articulators):
+def build_frozen_ae(cfg, indices_dict, articulators, require_encoder=True):
     """Frozen encoder/decoder closures over loaded parameter pytrees.
 
-    The encoder is optional: synthesis-time configs ship only the decoder
-    (reference generate_vocal_tract_shape_autoencoder.yaml carries just
-    ``aux_state_dict_filepath`` = best_decoders.pt), so ``encode_fn`` is
-    None when ``encoder_state_dict_filepath`` is absent.
+    The encoder is optional ONLY for synthesis-time callers: those configs
+    ship just the decoder (reference
+    generate_vocal_tract_shape_autoencoder.yaml carries only
+    ``aux_state_dict_filepath`` = best_decoders.pt), and they pass
+    ``require_encoder=False`` to get ``encode_fn=None``. Training callers
+    need the encoder for the composite loss, so a missing
+    ``encoder_state_dict_filepath`` raises here — at config-read time —
+    instead of surfacing later as "'NoneType' object is not callable"
+    inside the jitted loss.
     """
     from artspeech_tpu.models.autoencoder import latent_size_of
 
@@ -63,6 +68,11 @@ def build_frozen_ae(cfg, indices_dict, articulators):
     hidden = cfg.get("hidden_features", 50)
     sample = jnp.zeros((1, len(articulators), in_features))
     encode_fn = None
+    if require_encoder and not cfg.get("encoder_state_dict_filepath"):
+        raise KeyError(
+            "encoder_state_dict_filepath is required for training "
+            "(decoder-only configs are only valid for synthesis callers)"
+        )
     if cfg.get("encoder_state_dict_filepath"):
         encoder = MultiEncoder(
             indices_dict=indices_dict,

@@ -97,12 +97,12 @@ def main(cfg, args, tracker):
 
     # Data-parallel by default: frame batches shard over all local devices
     # (zero-weight dummy rows make the batch dim divisible).
-    from artspeech_tpu.data.batching import prefetch_to_device
+    from artspeech_tpu.data.batching import prefetch_to_device, round_up_to_multiple
     from artspeech_tpu.parallel.distributed import distribute_state
     from artspeech_tpu.parallel.mesh import batch_sharding, data_parallel_mesh
 
     n_devices = len(jax.devices())
-    pad_bs = ((cfg["batch_size"] + n_devices - 1) // n_devices) * n_devices
+    pad_bs = round_up_to_multiple(cfg["batch_size"], n_devices)
     mesh = data_parallel_mesh(pad_bs)
     state = distribute_state(state, mesh)
     sharding = batch_sharding(mesh)

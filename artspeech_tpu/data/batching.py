@@ -81,6 +81,16 @@ def collate_articulation_batch(
     return batch, meta
 
 
+def round_up_to_multiple(n: int, multiple: int) -> int:
+    """Smallest multiple of ``multiple`` >= n (multiple <= 1 -> n itself).
+
+    Shared by every loader that pads the collated batch dim so it shards
+    evenly over a data-parallel mesh.
+    """
+    m = max(int(multiple), 1)
+    return ((int(n) + m - 1) // m) * m
+
+
 class BucketedLoader:
     """Length-bucketed batch iterator over an ArtSpeechDataset-like dataset.
 
@@ -108,8 +118,7 @@ class BucketedLoader:
         # configured batch) but collate to the next multiple of
         # pad_to_multiple with zero-length dummy rows, so the batch dim
         # shards evenly over a data-parallel mesh.
-        m = max(int(pad_to_multiple), 1)
-        self.collate_batch_size = ((batch_size + m - 1) // m) * m
+        self.collate_batch_size = round_up_to_multiple(batch_size, pad_to_multiple)
         self._epoch = 0
         self._cache = [None] * len(dataset) if cache_items else None
 
@@ -210,6 +219,10 @@ class CachedLoader:
 
     def __getattr__(self, name):
         # Delegate loader attributes (batch_size, collate_batch_size, ...).
+        # Never delegate dunder/underscore lookups: copy/unpickle probe
+        # attributes before __init__ ran, and self._loader would recurse.
+        if name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self._loader, name)
 
     def __len__(self):

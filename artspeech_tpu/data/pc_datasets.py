@@ -171,8 +171,9 @@ class AutoencoderDataset:
         batch dict can go straight into a jitted step. ``pad_to_multiple``
         rounds the collated batch dim up with zero-weight dummies so it
         shards evenly over a data-parallel mesh."""
-        m = max(int(pad_to_multiple), 1)
-        collate_bs = ((batch_size + m - 1) // m) * m
+        from artspeech_tpu.data.batching import round_up_to_multiple
+
+        collate_bs = round_up_to_multiple(batch_size, pad_to_multiple)
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)

@@ -404,8 +404,9 @@ class RecognitionLoader:
         self.feature = feature
         self.batch_size = batch_size
         # Collate to a dp-shardable batch dim (see data/batching.py).
-        m = max(int(pad_to_multiple), 1)
-        self.collate_batch_size = ((batch_size + m - 1) // m) * m
+        from artspeech_tpu.data.batching import round_up_to_multiple
+
+        self.collate_batch_size = round_up_to_multiple(batch_size, pad_to_multiple)
         self.buckets = tuple(sorted(buckets))
         self.shuffle = shuffle
         self.seed = seed

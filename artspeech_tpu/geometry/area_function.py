@@ -85,7 +85,8 @@ def intersect_lines_with_wall(line_p0, line_p1, wall):
     return points_out, hit, t_out
 
 
-def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid):
+def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid,
+                             max_crossings: int = 16):
     """Intersect both walls with every grid line, pairing crossings by the
     reference's rules (area_function.py:176-223):
 
@@ -134,7 +135,10 @@ def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid):
 
     t_i, raw_val_i = crossing_ts(internal_wall)
     t_e, raw_val_e = crossing_ts(external_wall)
-    k_cand = min(8, t_i.shape[1])
+    # Candidate slots per line: the reference considers every crossing; a
+    # grid line re-crossing a chained 100-point wall more than 16 times
+    # means a degenerate contour, and the (L, K, K) tables stay tiny.
+    k_cand = min(max_crossings, t_i.shape[1])
 
     def compact(t, val):
         # Scatter the first K valid ts into K slots via prefix-rank one-hot

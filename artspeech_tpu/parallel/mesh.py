@@ -39,7 +39,8 @@ def data_parallel_mesh(
         devices = jax.devices()
     n = len(devices)
     if batch_size:
-        n = math.gcd(int(batch_size), n) or 1
+        bs = int(batch_size)
+        n = next((d for d in range(n, 0, -1) if bs % d == 0), 1)
     return make_mesh(devices[:n], model_parallel=1)
 
 

@@ -41,7 +41,6 @@ AREA_SAMPLES = 200
 
 def _semipolar_grid_np():
     """The fixed Maeda-style grid both pipelines intersect against."""
-    os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
     from artspeech_tpu.geometry.grid import build_semipolar_grid
 
     return np.asarray(

@@ -275,7 +275,7 @@ def main():
 
     # --- Transformer: teacher-forced train step + generate crossover ---
     from artspeech_tpu.models.transformer import ArtSpeechTransformer, make_fast_generate
-    from artspeech_tpu.train.step import make_transformer_train_step, shift_targets_right
+    from artspeech_tpu.train.step import make_transformer_train_step
 
     C_TR = 10
     tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1)

@@ -50,6 +50,15 @@ def _ensure_cpu_mesh():
         JAX_NUM_CPU_DEVICES=str(N_DEVICES),
         XLA_FLAGS=(env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={N_DEVICES}").strip(),
     )
+    # The TPU plugin's sitecustomize imports jax at interpreter startup and
+    # pins the backend regardless of JAX_PLATFORMS — drop any PYTHONPATH
+    # entry shipping a sitecustomize (same recipe as __graft_entry__.py).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and not os.path.exists(os.path.join(p, "sitecustomize.py"))
+    )
     ret = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
     sys.exit(ret.returncode)
 
