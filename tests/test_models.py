@@ -209,3 +209,34 @@ def test_p2cp_metric_ignores_dummy_rows():
     med_full = euclidean_distance_mm(out, tgt, jnp.asarray([6, 6]), to_mm=1.0)
     med_padded = euclidean_distance_mm(out_p, tgt_p, jnp.asarray([6, 6, 0, 0]), to_mm=1.0)
     np.testing.assert_allclose(float(med_padded), float(med_full), rtol=1e-6)
+
+
+def test_bfloat16_dtype_string_knob():
+    """configs can opt into bf16 compute via model_kwargs/model_params
+    dtype strings (params stay f32; measured 1.25-1.35x step speedups on
+    v5e — benchmarks note in BENCH_DETAILS.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from artspeech_tpu.models.artspeech_rnn import ArtSpeech
+    from artspeech_tpu.models.deepspeech2 import DeepSpeech2
+
+    tokens = jnp.zeros((2, 6), jnp.int32)
+    lengths = jnp.full((2,), 6, jnp.int32)
+    model = ArtSpeech(vocab_size=8, n_articulators=3, dtype="bfloat16")
+    params = model.init(jax.random.PRNGKey(0), tokens, lengths)["params"]
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32  # params stay f32
+    out = model.apply({"params": params}, tokens, lengths)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+    feats = jnp.zeros((2, 2, 12, 10), jnp.float32)
+    ds2 = DeepSpeech2(in_channels=2, num_residual_layers=1, num_rnn_layers=1,
+                      rnn_hidden_size=8, num_classes=5, num_features=12,
+                      dtype="bfloat16")
+    p = ds2.init(jax.random.PRNGKey(0), feats,
+                 lengths=jnp.full((2,), 10, jnp.int32))["params"]
+    logits = ds2.apply({"params": p}, feats, lengths=jnp.full((2,), 10, jnp.int32))
+    assert bool(jnp.isfinite(np.asarray(logits, np.float32)).all())
