@@ -57,6 +57,7 @@ class ChannelProcessingLayer(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src, tgt, mask=None, deterministic: bool = True):
@@ -66,16 +67,17 @@ class ChannelProcessingLayer(nn.Module):
             tgt: (..., L, E) queries source.
             mask: broadcastable to (..., num_heads, L, S) boolean, True=keep.
         """
-        ln = nn.LayerNorm()
+        ln = nn.LayerNorm(dtype=self.dtype)
         src = ln(src)
         tgt = ln(tgt)
-        query = nn.relu(nn.Dense(self.embed_dim)(tgt))
-        key = nn.relu(nn.Dense(self.embed_dim)(src))
-        value = nn.relu(nn.Dense(self.embed_dim)(src))
+        query = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(tgt))
+        key = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(src))
+        value = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(src))
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
         )(query, key, value, mask=mask)
         return query + out
 
@@ -89,6 +91,7 @@ class ChannelInteractionsLayer(nn.Module):
     num_heads: int
     num_tgt_channels: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src_channel, tgt_channels, mask=None, deterministic=True):
@@ -108,14 +111,14 @@ class ChannelInteractionsLayer(nn.Module):
             axis_size=self.num_tgt_channels,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, self.dropout)
+        )(self.embed_dim, self.num_heads, self.dropout, self.dtype)
         outs = vmapped(src, tgts, mask, deterministic)
         # (B, Nother, L, E) -> concat channels (B, L, Nother * E)
         b, n, l, e = outs.shape
         concat = jnp.swapaxes(outs, 1, 2).reshape(b, l, n * e)
         concat = drop(concat, deterministic=deterministic)
-        h = nn.LayerNorm()(concat)
-        return nn.relu(nn.Dense(self.embed_dim)(h))
+        h = nn.LayerNorm(dtype=self.dtype)(concat)
+        return nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(h))
 
 
 class MultiChannelDecoderLayer(nn.Module):
@@ -126,6 +129,7 @@ class MultiChannelDecoderLayer(nn.Module):
     num_heads: int
     num_channels: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -147,7 +151,7 @@ class MultiChannelDecoderLayer(nn.Module):
             axis_size=c,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, self.dropout)
+        )(self.embed_dim, self.num_heads, self.dropout, self.dtype)
         tgt_d = drop(tgt, deterministic=deterministic)
         proc = self_vmapped(tgt_d, tgt_d, tgt_mask, deterministic)
 
@@ -165,7 +169,7 @@ class MultiChannelDecoderLayer(nn.Module):
             axis_size=c,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, c - 1, self.dropout)
+        )(self.embed_dim, self.num_heads, c - 1, self.dropout, self.dtype)
         proc_d = drop(proc, deterministic=deterministic)
         others_d = drop(others, deterministic=deterministic)
         inter = inter_vmapped(proc_d, others_d, tgt_mask, deterministic)
@@ -178,14 +182,14 @@ class MultiChannelDecoderLayer(nn.Module):
             axis_size=c,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-        )(self.embed_dim, self.num_heads, self.dropout)
+        )(self.embed_dim, self.num_heads, self.dropout, self.dtype)
         mem_d = drop(memory, deterministic=deterministic)
         inter_d = drop(inter, deterministic=deterministic)
         attended = mem_vmapped(mem_d, inter_d, memory_mask, deterministic)
 
-        attended = nn.LayerNorm()(attended)
-        h = nn.LayerNorm()(drop(attended, deterministic=deterministic))
-        ff = nn.relu(nn.Dense(self.embed_dim)(h))
+        attended = nn.LayerNorm(dtype=self.dtype)(attended)
+        h = nn.LayerNorm(dtype=self.dtype)(drop(attended, deterministic=deterministic))
+        ff = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(h))
         return attended + ff
 
 
@@ -197,6 +201,7 @@ class TransformerEncoderLayer(nn.Module):
     num_heads: int
     ff_dim: int = 2048
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -204,13 +209,14 @@ class TransformerEncoderLayer(nn.Module):
             num_heads=self.num_heads,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
         )(x, x, x, mask=mask)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
-        ff = nn.Dense(self.ff_dim)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
+        ff = nn.Dense(self.ff_dim, dtype=self.dtype)(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        ff = nn.Dense(self.embed_dim)(ff)
-        return nn.LayerNorm()(x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
+        ff = nn.Dense(self.embed_dim, dtype=self.dtype)(ff)
+        return nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
 
 
 class ArtSpeechTransformer(nn.Module):
@@ -230,14 +236,19 @@ class ArtSpeechTransformer(nn.Module):
     num_feat: int = 100  # 2 * n_samples
     dropout: float = 0.0
     encoder_ff_dim: int = 2048
+    #: flax compute dtype (params stay f32); bf16 halves the HBM traffic of
+    #: the (B, C, C-1, H, L, L) cross-channel attention scores — the step's
+    #: bandwidth bottleneck (benchmarks/BENCH_DETAILS.md roofline notes).
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.src_embedding = nn.Embed(self.vocab_size, self.embed_dim)
+        self.src_embedding = nn.Embed(self.vocab_size, self.embed_dim, dtype=self.dtype)
         self.pos_encoding = PositionalEncoding(self.dropout)
         self.tgt_pos_encoding = PositionalEncoding(self.dropout)
         self.encoder_layers = [
             TransformerEncoderLayer(
-                self.embed_dim, self.num_heads, self.encoder_ff_dim, self.dropout
+                self.embed_dim, self.num_heads, self.encoder_ff_dim, self.dropout,
+                dtype=self.dtype,
             )
             for _ in range(self.num_layers)
         ]
@@ -247,13 +258,14 @@ class ArtSpeechTransformer(nn.Module):
                 self.num_heads,
                 self.num_articulators,
                 self.dropout,
+                dtype=self.dtype,
             )
             for _ in range(self.num_layers)
         ]
-        self.tgt_embed_ln = nn.LayerNorm()
-        self.tgt_embed_dense = nn.Dense(self.embed_dim)
-        self.head_ln = nn.LayerNorm()
-        self.head_dense = nn.Dense(self.embed_dim)
+        self.tgt_embed_ln = nn.LayerNorm(dtype=self.dtype)
+        self.tgt_embed_dense = nn.Dense(self.embed_dim, dtype=self.dtype)
+        self.head_ln = nn.LayerNorm(dtype=self.dtype)
+        self.head_dense = nn.Dense(self.embed_dim, dtype=self.dtype)
         self.predictors = nn.vmap(
             ArticulatorPredictor,
             in_axes=None,
@@ -261,7 +273,7 @@ class ArtSpeechTransformer(nn.Module):
             axis_size=self.num_articulators,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-        )(n_samples=self.num_feat // 2)
+        )(n_samples=self.num_feat // 2, dtype=self.dtype)
 
     def _encode(self, src, src_mask, deterministic):
         embed = self.src_embedding(src)
@@ -356,7 +368,7 @@ class ArtSpeechTransformer(nn.Module):
             )
             return tgt_buf, None
 
-        tgt0 = jnp.zeros((b, buf_len, c, f))
+        tgt0 = jnp.zeros((b, buf_len, c, f), self.dtype or jnp.float32)
         tgt_buf, _ = jax.lax.scan(step, tgt0, jnp.arange(s))
         return tgt_buf[:, 1:].reshape(b, s, c, 2, f // 2)
 
@@ -417,6 +429,10 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
         memory, memory_mask = model.apply(
             {"params": params}, src, src_lengths, method=ArtSpeechTransformer.encode
         )
+        # The scan math below runs on raw f32 params; cast the encoder
+        # memory up so a bf16-compute model (dtype="bfloat16") feeds the
+        # same f32 decode loop.
+        memory = memory.astype(jnp.float32)
         dtype = memory.dtype
         neg = jnp.finfo(dtype).min
         # memory_mask: (B, 1, 1, S) bool -> additive bias (B, 1, 1, S)
