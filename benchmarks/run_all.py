@@ -214,8 +214,8 @@ def main():
     from artspeech_tpu.train.step import make_artspeech_train_step
 
     NART = 10
-    for b in (12, 256):
-        model = ArtSpeech(vocab_size=64, n_articulators=NART, dropout=0.1)
+    for b, dt in ((12, None), (256, None), (256, "bfloat16")):
+        model = ArtSpeech(vocab_size=64, n_articulators=NART, dropout=0.1, dtype=dt)
         tokens = jnp.asarray(rng.integers(0, 64, (b, 128)), jnp.int32)
         lengths = jnp.full((b,), 128, jnp.int32)
         state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-4)
@@ -237,8 +237,8 @@ def main():
                           lambda c: float(c[1]))
         fl = 3 * artspeech_fwd_flops(b, 128, NART)
         fps = b * 128 / (dev or ms) * 1e3
-        add(f"bigru_train_step_b{b}", ms, f"B={b} T=128, {fps:,.0f} frames/s", fl,
-            device_ms=dev)
+        tag = f"bigru_train_step_b{b}" + ("_bf16" if dt else "")
+        add(tag, ms, f"B={b} T=128, {fps:,.0f} frames/s", fl, device_ms=dev)
 
     # --- DeepSpeech2 recognizer train step (melspec, CTC) ---
     from artspeech_tpu.models.deepspeech2 import DeepSpeech2
@@ -278,13 +278,10 @@ def main():
     from artspeech_tpu.train.step import make_transformer_train_step
 
     C_TR = 10
-    tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1)
     b_tr, t_tr = 12, 128
     src = jnp.asarray(rng.integers(0, 64, (b_tr, t_tr)), jnp.int32)
     tgt = jnp.asarray(rng.uniform(size=(b_tr, t_tr, C_TR, 100)).astype(np.float32))
     lengths = jnp.full((b_tr,), t_tr, jnp.int32)
-    tr_params = tr.init(jax.random.PRNGKey(0), src, tgt, lengths, lengths)["params"]
-    tr_state = TrainState.create(apply_fn=tr.apply, params=tr_params, tx=optax.adam(1e-4))
     tr_step = make_transformer_train_step(to_mm=220.0, donate=False)
     tr_batch = {
         "tokens": src,
@@ -293,17 +290,26 @@ def main():
         ),
         "lengths": lengths,
     }
+    for dt in (None, "bfloat16"):
+        tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1,
+                                  dtype=dt)
+        tr_params = tr.init(jax.random.PRNGKey(0), src, tgt, lengths, lengths)["params"]
+        tr_state = TrainState.create(apply_fn=tr.apply, params=tr_params,
+                                     tx=optax.adam(1e-4))
 
-    def tr_chain(carry):
-        st, _ = carry
-        st2, m = tr_step(st, tr_batch, jax.random.PRNGKey(0))
-        return st2, m["loss"]
+        def tr_chain(carry, tr_step=tr_step):
+            st, _ = carry
+            st2, m = tr_step(st, tr_batch, jax.random.PRNGKey(0))
+            return st2, m["loss"]
 
-    ms, dev = measure(tr_chain, (tr_state, jnp.zeros(())), lambda c: float(c[1]))
-    fl = 3 * transformer_fwd_flops(b_tr, t_tr, t_tr, C_TR)
-    add("transformer_train_step_b12", ms,
-        f"B={b_tr} T={t_tr} C={C_TR}, {b_tr * t_tr / (dev or ms) * 1e3:,.0f} frames/s",
-        fl, device_ms=dev)
+        ms, dev = measure(tr_chain, (tr_state, jnp.zeros(())), lambda c: float(c[1]))
+        fl = 3 * transformer_fwd_flops(b_tr, t_tr, t_tr, C_TR)
+        tag = "transformer_train_step_b12" + ("_bf16" if dt else "")
+        add(tag, ms,
+            f"B={b_tr} T={t_tr} C={C_TR}, {b_tr * t_tr / (dev or ms) * 1e3:,.0f} frames/s",
+            fl, device_ms=dev)
+    tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1)
+    tr_params = tr.init(jax.random.PRNGKey(0), src, tgt, lengths, lengths)["params"]
 
     B_GEN = 4
     gen_rows = {}
