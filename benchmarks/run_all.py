@@ -424,6 +424,11 @@ def main():
             f.write("| T | buffer ms | cached ms | speedup |\n|---|---|---|---|\n")
             for t_gen, (mb, mf) in sorted(gen_rows.items()):
                 f.write(f"| {t_gen} | {mb:.1f} | {mf:.1f} | {mb / mf:.2f}x |\n")
+        notes = os.path.join(out_dir, "NOTES.md")
+        if os.path.exists(notes):
+            f.write("\n")
+            with open(notes) as nf:
+                f.write(nf.read())
     print("wrote BENCH_DETAILS.md")
 
 
