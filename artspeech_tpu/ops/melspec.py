@@ -15,6 +15,7 @@ with F=513, N=1024 is tiny and fuses with the mel projection).
 from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,12 +58,26 @@ def dft_basis(n_fft: int) -> np.ndarray:
 
 
 def frame_signal(audio, n_fft: int, hop_length: int, center: bool = True):
-    """(..., S) -> (..., T, n_fft) frames with reflect center padding."""
+    """(..., S) -> (..., T, n_fft) frames with reflect center padding.
+
+    When ``hop_length`` divides ``n_fft`` (the torchaudio-default 1024/256
+    case), framing is ``n_fft // hop`` STATIC slices of a hop-block reshape
+    instead of a gather with a (T, n_fft) index matrix — same values
+    (bit-exact, tested), far fewer HLO ops after the TPU gather lowering
+    (measured step time unchanged; the recognizer is bound elsewhere)."""
     if center:
         pad = [(0, 0)] * (audio.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         audio = jnp.pad(audio, pad, mode="reflect")
     n = audio.shape[-1]
     n_frames = 1 + (n - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        k = n_fft // hop_length
+        n_blocks = n // hop_length
+        blocks = audio[..., : n_blocks * hop_length].reshape(
+            audio.shape[:-1] + (n_blocks, hop_length)
+        )
+        parts = [blocks[..., i : i + n_frames, :] for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
     starts = jnp.arange(n_frames) * hop_length
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
     return audio[..., idx]
@@ -92,14 +107,19 @@ def melspectrogram(
 
     frames = frame_signal(audio, n_fft, hop_length) * window  # (..., T, N)
     basis = jnp.asarray(dft_basis(n_fft))  # (2F, N)
-    spec = jnp.einsum("...tn,fn->...tf", frames, basis)
+    # Full-precision DFT: the TPU default (one bf16 MXU pass) leaves ~2e-3
+    # relative error in the spectrogram; these matmuls are a negligible
+    # fraction of any consumer's step time, so buy the 3e-7 parity.
+    spec = jnp.einsum("...tn,fn->...tf", frames, basis,
+                      precision=jax.lax.Precision.HIGHEST)
     n_freqs = n_fft // 2 + 1
     real, imag = spec[..., :n_freqs], spec[..., n_freqs:]
     mag = real * real + imag * imag
     if power != 2.0:
         mag = jnp.power(jnp.maximum(mag, 1e-30), power / 2.0)
     fb = jnp.asarray(mel_filterbank(n_mels, n_freqs, sample_rate, f_min, f_max))
-    mel = jnp.einsum("...tf,fm->...tm", mag, fb)
+    mel = jnp.einsum("...tf,fm->...tm", mag, fb,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.swapaxes(mel, -1, -2)  # (..., n_mels, T)
 
 
