@@ -44,7 +44,9 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         t, d = x.shape[-2], x.shape[-1]
-        x = x + sinusoidal_positions(self.max_len, d)[:t]
+        # keep the caller's compute dtype: adding the f32 table would
+        # silently promote bf16 activations back to f32
+        x = x + sinusoidal_positions(self.max_len, d)[:t].astype(x.dtype)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 

@@ -69,7 +69,9 @@ def frame_signal(audio, n_fft: int, hop_length: int, center: bool = True):
         pad = [(0, 0)] * (audio.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         audio = jnp.pad(audio, pad, mode="reflect")
     n = audio.shape[-1]
-    n_frames = 1 + (n - n_fft) // hop_length
+    n_frames = max(1 + (n - n_fft) // hop_length, 0)
+    if n_frames == 0:
+        return jnp.zeros(audio.shape[:-1] + (0, n_fft), audio.dtype)
     if n_fft % hop_length == 0:
         k = n_fft // hop_length
         n_blocks = n // hop_length

@@ -290,10 +290,13 @@ def main():
         ),
         "lengths": lengths,
     }
+    tr_f32 = tr_f32_params = None
     for dt in (None, "bfloat16"):
         tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1,
                                   dtype=dt)
         tr_params = tr.init(jax.random.PRNGKey(0), src, tgt, lengths, lengths)["params"]
+        if dt is None:
+            tr_f32, tr_f32_params = tr, tr_params
         tr_state = TrainState.create(apply_fn=tr.apply, params=tr_params,
                                      tx=optax.adam(1e-4))
 
@@ -308,8 +311,7 @@ def main():
         add(tag, ms,
             f"B={b_tr} T={t_tr} C={C_TR}, {b_tr * t_tr / (dev or ms) * 1e3:,.0f} frames/s",
             fl, device_ms=dev)
-    tr = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR, dropout=0.1)
-    tr_params = tr.init(jax.random.PRNGKey(0), src, tgt, lengths, lengths)["params"]
+    tr, tr_params = tr_f32, tr_f32_params  # generate benches reuse the f32 model
 
     B_GEN = 4
     gen_rows = {}

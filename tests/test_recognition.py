@@ -378,3 +378,17 @@ def test_class_weights_align_to_vocabulary(tmp_path):
     path.write_text(_json.dumps({"a": 2.0, "b": 3.0}))
     w = np.asarray(load_class_weights(str(path), vocab))
     assert w.tolist() == [1.0, 1.0, 2.0, 3.0, 1.0]
+
+
+def test_frame_signal_short_audio_center_false():
+    """center=False audio shorter than n_fft yields an empty (.., 0, n_fft)
+    frame tensor on both framing paths (regression: the static-slice fast
+    path crashed on the negative frame count)."""
+    import jax.numpy as jnp
+
+    from artspeech_tpu.ops.melspec import frame_signal
+
+    out = frame_signal(jnp.zeros((2, 700)), 1024, 256, center=False)
+    assert out.shape == (2, 0, 1024)
+    out = frame_signal(jnp.zeros((2, 700)), 1000, 300, center=False)  # gather path
+    assert out.shape == (2, 0, 1000)
