@@ -170,14 +170,14 @@ def _gru_seq_kernel(xproj_ref, wh_ref, bh_ref, mask_ref, out_ref):
 def gru_sequence_pallas(x_proj, w_h, b_h, mask, batch_tile: int = 16):
     """Fused masked GRU recurrence (forward only; exact GRULayer parity).
 
-    Speed-of-light note (v5e, B=16 T=128 H=128, pipelined timing): the XLA
-    ``lax.scan`` lowering already sits at the sequential-dependency latency
-    floor (~2.3us/step); this kernel measures 1.12x it at best, and a
-    direction-fused block-diagonal BiGRU variant is SLOWER than XLA's
-    overlapped twin scans (0.36ms vs 0.29ms). The recurrence is latency-
-    bound, not overhead-bound — so the production GRU path stays on the XLA
-    scan (which also has gradients); this kernel is kept as the measured
-    reference point.
+    Speed-of-light note (v5e, honest dependency-chained timing — see
+    benchmarks/timing.py; the round-1 "pipelined" numbers were dispatch
+    artifacts): at B=12 T=128 H=128 this kernel runs one direction in
+    0.126ms vs 0.117ms for the XLA ``lax.scan`` — parity at the
+    sequential-dependency floor, with no gradient. The production GRU path
+    therefore stays on the XLA scan (differentiable; both directions fused
+    into one scan at small batch — ops/gru.py), and this kernel is kept as
+    the measured reference point.
 
     Args:
         x_proj: (B, T, 3H) hoisted input projections (x @ w_i + b_i).
