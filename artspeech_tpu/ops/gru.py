@@ -117,8 +117,13 @@ def _gru_scan(x_proj, w_h, b_h, mask, hidden):
         return h_new, h_new
 
     h0 = jnp.zeros(batch_shape + (hidden,), x_proj.dtype)
+    # unroll=8: each while iteration on TPU pays ~5us of fixed per-op cost
+    # across the ~8 fused gate ops; unrolling fuses 8 timesteps into one
+    # loop body (measured 14x fwd+bwd on the isolated recurrence at the
+    # thesis batch, 1.16x at B=256; unroll=16 regresses both).
     _, ys = jax.lax.scan(
-        step, h0, (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0))
+        step, h0, (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0)),
+        unroll=8,
     )
     return jnp.moveaxis(ys, 0, -2)  # (..., T, H)
 
@@ -314,6 +319,7 @@ def _lstm_scan(x_proj, w_h, b_h, mask, hidden):
 
     h0 = jnp.zeros(batch_shape + (hidden,), x_proj.dtype)
     (_, _), ys = jax.lax.scan(
-        step, (h0, h0), (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0))
+        step, (h0, h0), (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0)),
+        unroll=8,
     )
     return jnp.moveaxis(ys, 0, -2)
