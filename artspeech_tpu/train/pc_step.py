@@ -14,6 +14,7 @@ from typing import Callable, Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from artspeech_tpu.ops.rng import as_rbg_key
 from artspeech_tpu.losses.autoencoder import (
     decoder_mean_p2cp_mm,
     make_autoencoder_loss,
@@ -126,7 +127,7 @@ def make_latent_rnn_train_step(
                 batch["tokens"],
                 batch["lengths"],
                 deterministic=False,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": as_rbg_key(dropout_rng)},
             )
             loss = loss_fn(
                 pcs,

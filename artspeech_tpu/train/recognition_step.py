@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from artspeech_tpu.ops.rng import as_rbg_key
 from artspeech_tpu.eval.decoders import greedy_ctc_decode
 from artspeech_tpu.losses.recognition import cross_entropy_loss, ctc_loss
 from artspeech_tpu.models.deepspeech2 import get_noise_logits
@@ -92,7 +93,7 @@ def make_recognition_train_step(
                 voicing=voicing,
                 lengths=batch["input_lengths"],
                 deterministic=False,
-                rngs={"dropout": rng},
+                rngs={"dropout": as_rbg_key(rng)},
             )
             if logits_large_margins > 0.0:
                 noise_rng = jax.random.fold_in(rng, 1)

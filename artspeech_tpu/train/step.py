@@ -12,6 +12,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from artspeech_tpu.ops.rng import as_rbg_key
 from artspeech_tpu.losses.articulation import (
     masked_euclidean_loss,
     p2cp_distance_mm,
@@ -43,7 +44,7 @@ def make_artspeech_train_step(
                 batch["tokens"],
                 batch["lengths"],
                 deterministic=False,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": as_rbg_key(dropout_rng)},
             )
             loss = masked_euclidean_loss(outputs, batch["targets"], batch["lengths"])
             if recognizer_fn is not None:
@@ -119,7 +120,7 @@ def make_transformer_train_step(to_mm: float, donate: bool = True):
                 src_lengths=batch["lengths"],
                 tgt_lengths=batch["lengths"],
                 deterministic=False,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": as_rbg_key(dropout_rng)},
             )
             loss = masked_euclidean_loss(outputs, batch["targets"], batch["lengths"])
             return loss, outputs
