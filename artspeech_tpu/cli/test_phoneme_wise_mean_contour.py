@@ -50,6 +50,7 @@ def main(cfg, args, tracker):
             "save_to", os.path.join(args.output_dir, "test_outputs", "0")
         ),
         regularize_out=cfg.get("regularize_out", False),
+        loss_agg="sentence",
     )
     with open(os.path.join(args.output_dir, "test_results.json"), "w") as f:
         json.dump(info, f, indent=2)

@@ -18,6 +18,7 @@ from artspeech_tpu.data.datasets import ArtSpeechDataset
 from artspeech_tpu.eval.articulation import run_test
 from artspeech_tpu.models.mean_contour import (
     fit_mean_contour,
+    fit_mean_contour_reference_sampling,
     make_mean_contour_forward,
 )
 from artspeech_tpu.utils.io import sequences_from_dict
@@ -39,13 +40,23 @@ def main(cfg, args, tracker):
             clip_tails=cfg.get("clip_tails", True),
         )
 
-    table = fit_mean_contour(
-        datasets["train"],
-        vocab_size=len(vocabulary),
-        n_bins=cfg.get("n_position_bins", 0),
-        sample_frac=cfg.get("sample_frac", 1.0),
-        seed=cfg.get("seed", 0),
-    )
+    if cfg.get("reference_sampling", False):
+        # Opt-in parity mode: the reference's deterministic pandas 10%
+        # subsample per token (phoneme_wise_mean_contour/__init__.py:130).
+        table = fit_mean_contour_reference_sampling(
+            datasets["train"],
+            vocab_size=len(vocabulary),
+            frac=cfg.get("sample_frac", 0.1),
+            random_state=cfg.get("seed", 0),
+        )
+    else:
+        table = fit_mean_contour(
+            datasets["train"],
+            vocab_size=len(vocabulary),
+            n_bins=cfg.get("n_position_bins", 0),
+            sample_frac=cfg.get("sample_frac", 1.0),
+            seed=cfg.get("seed", 0),
+        )
     table_path = os.path.join(args.output_dir, "mean_contour_table.npz")
     os.makedirs(args.output_dir, exist_ok=True)
     table.save(table_path)
@@ -63,6 +74,7 @@ def main(cfg, args, tracker):
         to_mm=mm_per_unit(DATASET_CONFIG[database_name]),
         outputs_dir=os.path.join(args.output_dir, "test_outputs", "0"),
         regularize_out=cfg.get("regularize_out", False),
+        loss_agg="sentence",
     )
     with open(os.path.join(args.output_dir, "test_results.json"), "w") as f:
         json.dump(info, f, indent=2)

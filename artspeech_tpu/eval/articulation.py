@@ -150,10 +150,21 @@ def run_test(
     outputs_dir: Optional[str] = None,
     regularize_out: bool = False,
     save_artifacts: bool = True,
+    loss_agg: str = "batch",
 ) -> Dict:
     """Evaluate over a loader; write contour npys + TV CSVs; return the
     reference run_test info dict {loss, {articulator: {x_corr, y_corr, p2cp,
-    p2cp_mm, med, med_mm}}} (encoder_decoder/evaluation.py:141-161)."""
+    p2cp_mm, med, med_mm}}} (encoder_decoder/evaluation.py:141-161).
+
+    ``loss_agg`` mirrors the two aggregation conventions in the reference:
+    "batch" averages the masked frame-mean loss per batch then over batches
+    (encoder_decoder/evaluation.py:58-63,87), "sentence" averages
+    per-sentence means (phoneme_wise_mean_contour/__init__.py:180,241 loops
+    sentences one at a time). They differ whenever sentence lengths or
+    bucket fills are uneven, so each CLI picks its reference's convention.
+    """
+    if loss_agg not in ("batch", "sentence"):
+        raise ValueError(f"loss_agg must be 'batch' or 'sentence': {loss_agg!r}")
     articulators = sorted(articulators)
     test_step, tv_articulators = make_test_step(
         apply_fn, articulators, regularize_out=regularize_out
@@ -166,16 +177,22 @@ def run_test(
         result = jax.device_get(result)
         lengths = np.asarray(batch["lengths"])
         valid = lengths > 0
-        losses.append(float(result["loss"]))
         for k in acc:
             acc[k].append(np.asarray(result["metrics"][k])[valid])
+        if loss_agg == "sentence":
+            # Per-sentence EuclideanDistance mean == ``med`` averaged over
+            # articulators; aggregating per sentence (not per padded batch)
+            # is what closed the mean-contour parity leg from 0.5% to 2e-8.
+            losses.append(acc["med"][-1].mean(axis=1))
+        else:
+            losses.append(np.asarray([float(result["loss"])]))
 
         if outputs_dir is not None and save_artifacts:
             _write_batch_artifacts(
                 result, meta, lengths, tv_articulators, outputs_dir
             )
 
-    info = {"loss": float(np.mean(losses))}
+    info = {"loss": float(np.mean(np.concatenate(losses)))}
     stacked = {k: np.concatenate(v, axis=0) for k, v in acc.items()}
     for i_art, art in enumerate(articulators):
         info[art] = {

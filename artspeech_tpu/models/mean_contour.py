@@ -122,6 +122,55 @@ def fit_mean_contour(
     return MeanContourTable(table=table, counts=counts_out, positional=positional)
 
 
+def fit_mean_contour_reference_sampling(
+    dataset,
+    vocab_size: int,
+    frac: float = 0.1,
+    random_state: int = 0,
+) -> MeanContourTable:
+    """Parity mode: the reference's fixed-seed 10% row subsample, exactly.
+
+    Reference phoneme_wise_mean_contour/__init__.py:103,130-135 calls
+    ``df[df.token == token].sample(frac=0.1, random_state=0)`` at inference.
+    With a fixed seed and a deterministic row order the selected subset per
+    token is a constant, so it precomputes into the same dense lookup table
+    as :func:`fit_mean_contour` — inference stays a single gather. Pandas
+    itself picks the row positions here, so the selection matches the
+    reference bit-for-bit for a same-ordered corpus.
+
+    Tokens whose row count rounds ``frac`` down to zero would crash the
+    reference (``torch.stack([])``); they fall back to the full mean here.
+    """
+    import pandas as pd
+
+    per_token = [[] for _ in range(vocab_size)]
+    shape = None
+    for idx in range(len(dataset)):
+        item = dataset[idx]
+        tokens = np.asarray(item["tokens"])
+        targets = np.asarray(item["targets"], dtype=np.float32)
+        shape = targets.shape[1:]
+        for t, tok in enumerate(tokens):
+            per_token[int(tok)].append(targets[t])
+
+    if shape is None:
+        raise ValueError("empty dataset")
+    table = np.zeros((vocab_size,) + shape, dtype=np.float32)
+    counts = np.zeros(vocab_size, dtype=np.int64)
+    for tok, rows in enumerate(per_token):
+        if not rows:
+            continue
+        pos = (
+            pd.DataFrame(index=np.arange(len(rows)))
+            .sample(frac=frac, random_state=random_state)
+            .index.to_numpy()
+        )
+        chosen = [rows[p] for p in pos] if len(pos) else rows
+        table[tok] = np.mean(np.stack(chosen, axis=0), axis=0)
+        counts[tok] = len(chosen)
+    return MeanContourTable(table=table, counts=counts, positional=False)
+
+
 def make_mean_contour_forward(table: MeanContourTable, beta: float = 10.0):
     """Build a jittable forward: (tokens (B, T), lengths (B,)) -> contours.
 

@@ -12,6 +12,30 @@ import jax.numpy as jnp
 # ---------- melspec ----------
 
 
+def test_melspec_matches_golden_fixture():
+    """torch.stft-generated golden (tests/fixtures/gen_melspec_golden.py):
+    runs in every image, torchaudio or not (VERDICT r2 weak #5)."""
+    import os
+
+    from artspeech_tpu.ops.melspec import dynamic_range_compression, melspectrogram
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "fixtures", "melspec_golden.npz"))
+    ours = melspectrogram(
+        jnp.asarray(z["audio"]),
+        sample_rate=int(z["sample_rate"]),
+        n_fft=int(z["n_fft"]),
+        hop_length=int(z["hop_length"]),
+        n_mels=int(z["n_mels"]),
+    )
+    assert ours.shape == z["mel"].shape
+    np.testing.assert_allclose(np.asarray(ours), z["mel"], rtol=1e-3, atol=1e-4)
+
+    ref_log = np.log(np.maximum(z["mel"], 1e-5))
+    np.testing.assert_allclose(
+        np.asarray(dynamic_range_compression(ours)), ref_log, rtol=1e-3, atol=1e-3
+    )
+
+
 def test_melspec_matches_torchaudio():
     torch = pytest.importorskip("torch")
     torchaudio = pytest.importorskip("torchaudio")
