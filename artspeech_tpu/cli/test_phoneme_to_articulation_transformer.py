@@ -20,7 +20,7 @@ from artspeech_tpu.data.datasets import ArtSpeechDataset
 from artspeech_tpu.eval.articulation import run_test
 from artspeech_tpu.models.transformer import (
     ArtSpeechTransformer,
-    make_fast_generate,
+    make_auto_generate,
 )
 from artspeech_tpu.train.checkpoint import load_params
 from artspeech_tpu.utils.io import sequences_from_dict
@@ -58,10 +58,10 @@ def main(cfg, args, tracker):
     )
     loader = BucketedLoader(dataset, batch_size=cfg["batch_size"], shuffle=False)
 
-    # KV-cached autoregressive decode: 2.2x the full-buffer re-decode at
-    # T=128 and 3.8x at T=256 on v5e (benchmarks/BENCH_DETAILS.md,
-    # "Generate crossover") — thesis sentences are a few hundred frames.
-    apply_fn = make_fast_generate(model)
+    # Per-bucket dispatch between the KV-cached scan and the buffer
+    # re-decode by the measured crossover band (benchmarks/BENCH_DETAILS.md
+    # "Generate crossover"): never slower at any bucket length.
+    apply_fn = make_auto_generate(model)
 
     info = run_test(
         params,

@@ -23,7 +23,7 @@ from artspeech_tpu.data.datasets import ArtSpeechDataset
 from artspeech_tpu.eval.articulation import run_test
 from artspeech_tpu.models.transformer import (
     ArtSpeechTransformer,
-    make_fast_generate,
+    make_auto_generate,
 )
 from artspeech_tpu.train.checkpoint import restore_checkpoint
 from artspeech_tpu.train.loop import fit
@@ -106,9 +106,10 @@ def main(cfg, args, tracker):
 
     best_state, _ = restore_checkpoint(result.best_params_dir, result.state)
 
-    # KV-cached autoregressive decode (see benchmarks/BENCH_DETAILS.md
-    # "Generate crossover": 2.2x at T=128, 3.8x at T=256 vs buffer re-decode).
-    apply_fn = make_fast_generate(model)
+    # Per-bucket dispatch between the KV-cached scan and the buffer
+    # re-decode by the measured crossover band (benchmarks/BENCH_DETAILS.md
+    # "Generate crossover"): never slower at any bucket length.
+    apply_fn = make_auto_generate(model)
 
     info = run_test(
         best_state.params,

@@ -10,6 +10,7 @@ writes npz/csv artifacts (plots are optional, matplotlib-gated).
 
 import json
 import os
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -80,6 +81,14 @@ def run_recognition_test(
     features: List[np.ndarray] = []
     feature_labels: List[np.ndarray] = []
 
+    # Hoisted + jitted so each bucket shape compiles once; calling the vmap
+    # eagerly per batch pays per-op dispatch around the scan (advisor r2).
+    beam_fn = (
+        jax.jit(partial(beam_ctc_decode_device, beam_width=beam_width))
+        if use_beam
+        else None
+    )
+
     for batch, meta in loader:
         result = jax.device_get(eval_step(state, batch))
         lengths = np.asarray(batch["input_lengths"])
@@ -90,9 +99,7 @@ def run_recognition_test(
             # In-graph vectorized prefix beam search (decoders.py): exact
             # merge, no per-frame candidate restriction, batched on device.
             btoks, blens = jax.device_get(
-                beam_ctc_decode_device(
-                    result["log_probs"], lengths, beam_width=beam_width
-                )
+                beam_fn(result["log_probs"], batch["input_lengths"])
             )
             dec_ids = [
                 list(map(int, btoks[i, : blens[i]])) for i in np.nonzero(valid)[0]

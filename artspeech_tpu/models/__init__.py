@@ -35,4 +35,4 @@ from artspeech_tpu.models.transformer import (
     MultiChannelDecoderLayer,
     PositionalEncoding,
 )
-from artspeech_tpu.models.transformer import make_fast_generate
+from artspeech_tpu.models.transformer import make_auto_generate, make_fast_generate

@@ -396,9 +396,16 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
     implementation hoists all memory-side projections out of the scan,
     materializes the per-layer self/cross-channel KV caches directly with
     ``jnp.zeros``, and performs each step as a handful of channel-batched
-    einsums against ``params`` — so a step costs only the O(C^2 E^2)
-    query-side work plus O(t) cache attention, and the cached path wins
-    from T~16 up (see benchmarks/BENCH_DETAILS.md "Generate crossover").
+    einsums against ``params``.
+
+    Measured crossover vs the buffer re-decode (v5e, B=4, C=10, device
+    profiler spans — the round-3 table in benchmarks/BENCH_DETAILS.md):
+    the cached scan wins at T<=56 (1.2-1.5x) and T>=128 (2.2-3.8x) but
+    LOSES in a T=64..112 band (0.58-0.81x), where the buffer path's
+    full-redecode cost is anomalously flat (its per-redecode cost stays
+    ~0.8ms until a >5x cliff between T=96 and 128, a compiler tiling
+    regime — measured, not modeled). Use :func:`make_auto_generate` for
+    the never-slower per-bucket dispatch; the CLIs default to it.
 
     Numerics match the module path (same flax Dense/LayerNorm/MHA math,
     reduction order differs): per-step parity ~1e-5, autoregressive
@@ -462,7 +469,9 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
             v = jnp.einsum("bcsf,cfhd->bcshd", v_mlp, mha["value"]["kernel"]) + mha["value"]["bias"][None, :, None]
             mem_kv.append((k, v))
 
-        pos_table = sinusoidal_positions(5000, e).astype(dtype)
+        # Sized to the actual decode length: a fixed 5000-row table would
+        # silently clamp pos_table[t] for longer sources (advisor r2).
+        pos_table = sinusoidal_positions(s, e).astype(dtype)
 
         def mha_out(attended_heads, mha_p):
             # (B, C, H, hd) x (C, H, hd, E) -> (B, C, E)
@@ -576,3 +585,34 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
         return frames.reshape(b, s, c, 2, f // 2)
 
     return fast_generate
+
+
+# Measured win/loss band of the cached scan vs the buffer re-decode (v5e,
+# round-3 crossover table in benchmarks/BENCH_DETAILS.md): the buffer path
+# is faster only for source lengths in [64, 112] (its per-redecode cost is
+# flat until a compiler tiling cliff between T=96 and T=128).
+BUFFER_WINS_LO = 64
+BUFFER_WINS_HI = 112
+
+
+def make_auto_generate(model: ArtSpeechTransformer):
+    """Never-slower generation: per-bucket dispatch between the KV-cached
+    scan and the buffer re-decode by the measured crossover band.
+
+    The source length is static at trace time (loaders pad to buckets), so
+    under ``jax.jit`` each bucket compiles exactly one of the two
+    implementations — there is no runtime branch. Regression-guarded by the
+    transformer_generate_* rows of benchmarks/run_all.py.
+    """
+    fast = make_fast_generate(model)
+
+    def auto_generate(params, src, src_lengths=None):
+        s = src.shape[1]
+        if BUFFER_WINS_LO <= s <= BUFFER_WINS_HI:
+            return model.apply(
+                {"params": params}, src, src_lengths,
+                method=ArtSpeechTransformer.generate,
+            )
+        return fast(params, src, src_lengths)
+
+    return auto_generate

@@ -315,7 +315,7 @@ def main():
 
     B_GEN = 4
     gen_rows = {}
-    for t_gen in (64, 128, 256):
+    for t_gen in (16, 32, 64, 96, 128, 256):
         src_g = jnp.asarray(rng.integers(0, 64, (B_GEN, t_gen)), jnp.int32)
         len_g = jnp.full((B_GEN,), t_gen, jnp.int32)
         buf_gen = jax.jit(
@@ -422,10 +422,28 @@ def main():
             "the production-representative number; utilization uses device time.\n"
         )
         if gen_rows:
+            from artspeech_tpu.models.transformer import (
+                BUFFER_WINS_HI,
+                BUFFER_WINS_LO,
+            )
+
             f.write("\n## Generate crossover (buffer re-decode vs KV-cached)\n\n")
-            f.write("| T | buffer ms | cached ms | speedup |\n|---|---|---|---|\n")
+            f.write(
+                "make_auto_generate dispatches per bucket by the measured "
+                f"band: buffer for T in [{BUFFER_WINS_LO}, {BUFFER_WINS_HI}], "
+                "cached elsewhere. 'auto ok' = the dispatch picks within 5% "
+                "of the faster path (regression row for the band).\n\n"
+            )
+            f.write("| T | buffer ms | cached ms | cached speedup | auto picks | auto ok |\n")
+            f.write("|---|---|---|---|---|---|\n")
             for t_gen, (mb, mf) in sorted(gen_rows.items()):
-                f.write(f"| {t_gen} | {mb:.1f} | {mf:.1f} | {mb / mf:.2f}x |\n")
+                pick = "buffer" if BUFFER_WINS_LO <= t_gen <= BUFFER_WINS_HI else "cached"
+                chosen = mb if pick == "buffer" else mf
+                ok = "yes" if chosen <= 1.05 * min(mb, mf) else "NO"
+                f.write(
+                    f"| {t_gen} | {mb:.1f} | {mf:.1f} | {mb / mf:.2f}x "
+                    f"| {pick} | {ok} |\n"
+                )
         notes = os.path.join(out_dir, "NOTES.md")
         if os.path.exists(notes):
             f.write("\n")

@@ -3,17 +3,29 @@
 This host exposes ONE physical core (see `nproc`), so 8 virtual XLA CPU
 devices time-share it and a wall-clock speedup 1->8 is physically
 impossible to observe here. What IS measurable — and what real-chip scaling
-depends on — is the *distribution overhead*:
+depends on — is whether sharding changes the *marginal cost per sample*.
 
-    overhead(n) = t(dp=n, global batch = n*b) / (n * t(dp=1, batch=b))
+Methodology (round 3 — replaces the old ``t(n) / (n * t(1))`` ratio, whose
+denominator double-counted the fixed per-program cost n times and produced
+impossible "better than ideal" values): for each dp size, time the jitted
+step at two per-device batch sizes with dependency-chained iteration and
+take the two-point slope over the added samples,
 
-On a serialized host the numerator contains n devices' worth of compute
-plus all collective/resharding cost, so overhead ~1.0 means the sharded
-program adds negligible communication and per-device work is unchanged —
-i.e. per-device throughput is flat 1->8 and real chips scale linearly
-(compile+execute of the same shardings on an 8-device mesh is separately
-validated by __graft_entry__.dryrun_multichip). Matches the sharded-step
-semantics of reference train_phoneme_to_articulation.py:45-121.
+    per_sample(dp) = (t(dp, b2) - t(dp, b1)) / (dp * (b2 - b1))
+
+The fixed per-step cost (dispatch, executable launch, fixed-size collective
+latency) cancels in the subtraction — the same two-point trick timing.py
+uses against the axon tunnel. On a serialized host the marginal cost of a
+sample is sharding-independent unless the program adds per-sample
+communication or re-materialization, so
+
+    overhead(dp) = per_sample(dp) / per_sample(1)
+
+~1.0 means batch-scaling collectives/resharding are free (an accidental
+all-gather of the batch lands >> 1.5). Compile+execute of the same
+shardings on a real multi-device mesh is separately validated by
+__graft_entry__.dryrun_multichip. Matches the sharded-step semantics of
+reference train_phoneme_to_articulation.py:45-121.
 
 Run: PYTHONPATH=/root/repo python benchmarks/scaling.py
 (re-execs itself with JAX_PLATFORMS=cpu / 8 virtual devices if needed).
@@ -63,8 +75,10 @@ def _ensure_cpu_mesh():
     sys.exit(ret.returncode)
 
 
-def step_time_chained(step, state, batch, n1=2, n2=12):
-    """Per-step seconds via dependency-chained iteration + two-point slope."""
+def step_time_chained(step, state, batch, n1=2, n2=12, repeats=3):
+    """Per-step seconds via dependency-chained iteration + two-point slope
+    over iterations; min over repeats (scheduler jitter on a shared core
+    only ever adds time)."""
     import jax
 
     def run(n):
@@ -77,74 +91,122 @@ def step_time_chained(step, state, batch, n1=2, n2=12):
         return time.perf_counter() - t0
 
     run(1)  # warm / compile
-    return (run(n2) - run(n1)) / (n2 - n1)
+    return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(repeats))
 
 
-def measure(dp_sizes=(1, 2, 4, 8), per_device_batch=2, seq=32, seed=0):
+def _bigru_setup(dp, b, seq, rng):
     import jax
     import jax.numpy as jnp
 
     from artspeech_tpu.models.artspeech_rnn import ArtSpeech
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import make_mesh, shard_batch
+    from artspeech_tpu.train.state import create_train_state
+    from artspeech_tpu.train.step import make_artspeech_train_step
+
+    mesh = make_mesh(jax.devices()[:dp], model_parallel=1)
+    model = ArtSpeech(vocab_size=32, n_articulators=4, dropout=0.0)
+    tokens = jnp.asarray(rng.integers(0, 32, (b, seq)), jnp.int32)
+    lengths = jnp.full((b,), seq, jnp.int32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-4)
+    state = distribute_state(state, mesh)
+    batch = shard_batch(
+        {
+            "tokens": tokens,
+            "targets": jnp.asarray(
+                rng.uniform(size=(b, seq, 4, 2, 50)).astype(np.float32)
+            ),
+            "lengths": lengths,
+        },
+        mesh,
+    )
+    step = make_artspeech_train_step(to_mm=220.0, donate=False)
+    return step, state, batch
+
+
+def _recognizer_setup(dp, b, seq, rng):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
     from artspeech_tpu.models.deepspeech2 import DeepSpeech2
     from artspeech_tpu.parallel.distributed import distribute_state
     from artspeech_tpu.parallel.mesh import make_mesh, shard_batch
     from artspeech_tpu.train.recognition_step import make_recognition_train_step
-    from artspeech_tpu.train.state import TrainState, create_train_state
-    from artspeech_tpu.train.step import make_artspeech_train_step
-    import optax
+    from artspeech_tpu.train.state import TrainState
+
+    mesh = make_mesh(jax.devices()[:dp], model_parallel=1)
+    # vocal-tract features + CTC; melspec adds nothing to the sharding
+    # question and is slow on 1 CPU core.
+    ds2 = DeepSpeech2(
+        num_residual_layers=1, num_rnn_layers=1, rnn_hidden_size=16,
+        num_classes=8, num_features=20, conv_channels=8,
+    )
+    feats = jnp.asarray(rng.normal(size=(b, 2, 20, seq)).astype(np.float32))
+    in_len = jnp.full((b,), seq, jnp.int32)
+    params = ds2.init(jax.random.PRNGKey(0), feats, lengths=in_len)["params"]
+    state = TrainState.create(apply_fn=ds2.apply, params=params, tx=optax.adam(1e-4))
+    state = distribute_state(state, mesh)
+    batch = shard_batch(
+        {
+            "features": feats,
+            "input_lengths": in_len,
+            "ctc_target": jnp.asarray(rng.integers(1, 8, (b, 6)), jnp.int32),
+            "ctc_target_lengths": jnp.full((b,), 6, jnp.int32),
+        },
+        mesh,
+    )
+
+    rstep = make_recognition_train_step(
+        ds2, "ctc", "ctc_target", feature="vocal_tract", donate=False
+    )
+    return rstep, state, batch
+
+
+SETUPS = {"bigru": _bigru_setup, "recognizer": _recognizer_setup}
+
+
+def static_per_device_cost(name, dp, per_device_batch=2, seq=16, seed=0):
+    """Noise-free sharding check: per-device FLOPs/bytes of the compiled
+    SPMD program (XLA cost analysis runs on the post-partitioning module).
+
+    A correctly sharded dp step keeps per-device FLOPs flat as dp grows
+    (collectives add ~1%); a replicated-batch regression multiplies them by
+    dp. Unlike any wall-clock metric on a time-shared single core, this is
+    exact and deterministic."""
+    import jax
 
     rng = np.random.default_rng(seed)
-    results = {"bigru": {}, "recognizer": {}}
+    step, state, batch = SETUPS[name](dp, per_device_batch * dp, seq, rng)
+    ca = step.lower(state, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return {"flops": float(ca["flops"]), "bytes": float(ca.get("bytes accessed", 0.0))}
 
-    for dp in dp_sizes:
-        b = per_device_batch * dp
-        mesh = make_mesh(jax.devices()[:dp], model_parallel=1)
 
-        # --- BiGRU ---
-        model = ArtSpeech(vocab_size=32, n_articulators=4, dropout=0.0)
-        tokens = jnp.asarray(rng.integers(0, 32, (b, seq)), jnp.int32)
-        lengths = jnp.full((b,), seq, jnp.int32)
-        state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-4)
-        state = distribute_state(state, mesh)
-        batch = shard_batch(
-            {
-                "tokens": tokens,
-                "targets": jnp.asarray(
-                    rng.uniform(size=(b, seq, 4, 2, 50)).astype(np.float32)
-                ),
-                "lengths": lengths,
-            },
-            mesh,
-        )
-        step = make_artspeech_train_step(to_mm=220.0, donate=False)
-        results["bigru"][dp] = step_time_chained(step, state, batch)
+def measure(dp_sizes=(1, 2, 4, 8), batch_pair=(2, 8), seq=32, seed=0):
+    """Descriptive wall timing per dp size: chained step times at two
+    per-device batch sizes and their per-sample slope.
 
-        # --- recognizer (vocal-tract features + CTC; melspec adds nothing
-        # to the sharding question and is slow on 1 CPU core) ---
-        t_rec = seq
-        ds2 = DeepSpeech2(
-            num_residual_layers=1, num_rnn_layers=1, rnn_hidden_size=16,
-            num_classes=8, num_features=20, conv_channels=8,
-        )
-        feats = jnp.asarray(rng.normal(size=(b, 2, 20, t_rec)).astype(np.float32))
-        in_len = jnp.full((b,), t_rec, jnp.int32)
-        params = ds2.init(jax.random.PRNGKey(0), feats, lengths=in_len)["params"]
-        rstate = TrainState.create(apply_fn=ds2.apply, params=params, tx=optax.adam(1e-4))
-        rstate = distribute_state(rstate, mesh)
-        rbatch = shard_batch(
-            {
-                "features": feats,
-                "input_lengths": in_len,
-                "ctc_target": jnp.asarray(rng.integers(1, 8, (b, 6)), jnp.int32),
-                "ctc_target_lengths": jnp.full((b,), 6, jnp.int32),
-            },
-            mesh,
-        )
-        rstep = make_recognition_train_step(
-            ds2, "ctc", "ctc_target", feature="vocal_tract", donate=False
-        )
-        results["recognizer"][dp] = step_time_chained(rstep, rstate, rbatch)
-
+    CAVEAT (why this is descriptive, not a soundness metric): on one
+    time-shared core the runtime's scheduling cost per step is itself
+    batch- and dp-dependent, so neither t(n)/(n*t(1)) (round 2's metric —
+    produced impossible "better than ideal" values) nor the per-sample
+    slope ratio isolates collective cost; measured healthy slopes range
+    0.3-1.5x across dp. The sound regression signal is
+    :func:`static_per_device_cost`."""
+    rng = np.random.default_rng(seed)
+    results = {name: {} for name in SETUPS}
+    b1, b2 = batch_pair
+    for name, setup in SETUPS.items():
+        for dp in dp_sizes:
+            times = {}
+            for per_dev_b in (b1, b2):
+                step, state, batch = setup(dp, per_dev_b * dp, seq, rng)
+                times[per_dev_b] = step_time_chained(step, state, batch)
+            results[name][dp] = {
+                "step_s": times,
+                "per_sample_s": (times[b2] - times[b1]) / (dp * (b2 - b1)),
+            }
     return results
 
 
@@ -153,26 +215,61 @@ def main():
     import jax
 
     assert jax.default_backend() == "cpu" and len(jax.devices()) >= N_DEVICES
+
+    flops_table = {}
+    for name in SETUPS:
+        flops_table[name] = {
+            dp: static_per_device_cost(name, dp) for dp in (1, 2, 4, 8)
+        }
     results = measure()
 
     out_dir = os.path.dirname(os.path.abspath(__file__))
-    table = {}
+    table = {"static": {}, "wall": {}}
     lines = [
-        "\n## Data-parallel distribution overhead (8-device virtual CPU mesh)\n",
-        "\nOne physical host core serializes all virtual devices, so ideal dp=n",
-        "\ncost is n x the dp=1 step; `overhead = t(n) / (n * t(1))` isolates the",
-        "\ncollective/resharding cost (1.0 = free distribution; see scaling.py).\n",
-        "\n| model | dp | step ms | per-device ms | overhead vs ideal |\n",
+        "\n## Data-parallel distribution cost (8-device virtual CPU mesh)\n",
+        "\nSound metric — static per-device cost of the compiled SPMD program\n",
+        "(XLA cost analysis, exact and jitter-free): flat FLOPs as dp grows\n",
+        "means the batch really is sharded and collectives are the only\n",
+        "addition; a replicated-batch bug multiplies FLOPs by dp.\n",
+        "\n| model | dp | per-device MFLOPs | vs dp=1 | per-device MB | vs dp=1 |\n",
+        "|---|---|---|---|---|---|\n",
+    ]
+    for name, by_dp in flops_table.items():
+        base = by_dp[1]
+        table["static"][name] = {}
+        for dp, c in sorted(by_dp.items()):
+            fr = c["flops"] / base["flops"]
+            br = c["bytes"] / base["bytes"] if base["bytes"] else float("nan")
+            table["static"][name][dp] = {
+                "mflops": round(c["flops"] / 1e6, 1),
+                "flops_ratio": round(fr, 3),
+                "mbytes": round(c["bytes"] / 1e6, 1),
+                "bytes_ratio": round(br, 3),
+            }
+            lines.append(
+                f"| {name} | {dp} | {c['flops'] / 1e6:.1f} | {fr:.3f} "
+                f"| {c['bytes'] / 1e6:.1f} | {br:.3f} |\n"
+            )
+    lines += [
+        "\nDescriptive wall timing (min-of-3 chained two-point slopes over\n",
+        "per-device batch 2 -> 8). On one time-shared core the runtime's\n",
+        "scheduling cost is itself batch- and dp-dependent, so these slopes\n",
+        "do NOT isolate collective cost (measured healthy range 0.3-1.5x) —\n",
+        "they are recorded for drift watching only; the table above is the\n",
+        "regression signal (see scaling.py docstrings).\n",
+        "\n| model | dp | step ms (b/dev=2) | step ms (b/dev=8) | per-sample ms |\n",
         "|---|---|---|---|---|\n",
     ]
-    for name, times in results.items():
-        t1 = times[1]
-        table[name] = {}
-        for dp, t in sorted(times.items()):
-            ov = t / (dp * t1)
-            table[name][dp] = {"step_ms": round(t * 1e3, 2), "overhead": round(ov, 3)}
+    for name, by_dp in results.items():
+        table["wall"][name] = {}
+        for dp, r in sorted(by_dp.items()):
+            table["wall"][name][dp] = {
+                "per_sample_ms": round(r["per_sample_s"] * 1e3, 3),
+            }
             lines.append(
-                f"| {name} | {dp} | {t * 1e3:.2f} | {t * 1e3 / dp:.2f} | {ov:.3f} |\n"
+                f"| {name} | {dp} | {r['step_s'][2] * 1e3:.2f} "
+                f"| {r['step_s'][8] * 1e3:.2f} "
+                f"| {r['per_sample_s'] * 1e3:.3f} |\n"
             )
     with open(os.path.join(out_dir, "scaling.json"), "w") as f:
         json.dump(table, f, indent=2)

@@ -1,13 +1,15 @@
-"""Data-parallel distribution-overhead regression (VERDICT round-1 item 7).
+"""Data-parallel sharding regression via static per-device program cost.
 
-On the 8-device virtual CPU mesh one physical core serializes all device
-compute, so the honest scaling statement is the overhead ratio
-``t(dp=8, 8x batch) / (8 * t(dp=1))`` — near 1.0 means collectives and
-resharding are free and per-device throughput is flat 1->8 (real-chip
-linear scaling; compile+execute of the same shardings is covered by
-__graft_entry__.dryrun_multichip). benchmarks/scaling.py produces the full
-table; this test pins the band so a sharding regression (e.g. an accidental
-all-gather of the batch) fails CI.
+Round 3 replaces the wall-clock overhead band: on the 8-device virtual CPU
+mesh one physical core time-shares all devices and the runtime's scheduling
+cost is itself batch- and dp-dependent, so no wall-clock normalization
+isolates collective cost (round 2's ``t(n)/(n*t(1))`` produced impossible
+"better than ideal" values; the per-sample slope ratio ranges 0.3-1.5 on
+healthy shardings). The exact, jitter-free signal is the per-device cost of
+the compiled SPMD program: XLA's cost analysis runs on the post-partitioning
+module, so a correctly dp-sharded step keeps per-device FLOPs flat as dp
+grows (collectives add ~1%), while a replicated-batch regression (e.g. an
+accidental all-gather of the batch) multiplies them by dp.
 """
 
 import importlib.util
@@ -26,15 +28,16 @@ def _load_scaling():
     return mod
 
 
-def test_dp8_distribution_overhead_band():
+def test_dp8_static_per_device_flops_flat():
     import jax
 
     assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
     scaling = _load_scaling()
-    results = scaling.measure(dp_sizes=(1, 8), per_device_batch=2, seq=16)
-    for name, times in results.items():
-        overhead = times[8] / (8 * times[1])
-        # Band is generous: single-core timing jitter plus per-program
-        # fixed costs (dispatch, 8 executables) land well under 1.6 when
-        # sharding is correct; a replicated-batch regression lands >> 2.
-        assert overhead < 1.6, f"{name}: dp8 distribution overhead {overhead:.2f}"
+    for name in scaling.SETUPS:
+        c1 = scaling.static_per_device_cost(name, 1)
+        c8 = scaling.static_per_device_cost(name, 8)
+        ratio = c8["flops"] / c1["flops"]
+        # Measured healthy: 1.01 (bigru), collectives only. A replicated
+        # batch lands at ~8.
+        assert ratio < 1.5, f"{name}: dp8 per-device flops ratio {ratio:.2f}"
+        assert ratio > 0.67, f"{name}: dp8 per-device flops ratio {ratio:.2f}"

@@ -186,6 +186,41 @@ def test_fast_generate_matches_generate():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=5e-4)
 
 
+def test_auto_generate_dispatch():
+    """make_auto_generate picks the buffer path exactly inside the measured
+    [BUFFER_WINS_LO, BUFFER_WINS_HI] band and the cached scan outside, and
+    both dispatch targets produce the documented numerics."""
+    from artspeech_tpu.models import transformer as tr
+
+    model = small_model()
+    auto = tr.make_auto_generate(model)
+    fast = tr.make_fast_generate(model)
+    rng = np.random.default_rng(0)
+
+    t_short = 6
+    assert t_short < tr.BUFFER_WINS_LO
+    tokens = jnp.asarray(rng.integers(0, V, (2, t_short)), jnp.int32)
+    lengths = jnp.full((2,), t_short, jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), tokens, jnp.zeros((2, t_short, C, 2 * D)),
+        lengths, lengths,
+    )["params"]
+    np.testing.assert_array_equal(
+        np.asarray(auto(params, tokens, lengths)),
+        np.asarray(fast(params, tokens, lengths)),
+    )
+
+    t_band = tr.BUFFER_WINS_LO
+    tokens = jnp.asarray(rng.integers(0, V, (1, t_band)), jnp.int32)
+    lengths = jnp.full((1,), t_band, jnp.int32)
+    buffer_out = model.apply(
+        {"params": params}, tokens, lengths, method=ArtSpeechTransformer.generate
+    )
+    np.testing.assert_array_equal(
+        np.asarray(auto(params, tokens, lengths)), np.asarray(buffer_out)
+    )
+
+
 def test_transformer_bfloat16_dtype_knob():
     """model_kwargs `dtype: bfloat16` gives bf16 activations with f32 params
     and an unchanged param tree (1.71x train step on v5e, BENCH_DETAILS)."""
