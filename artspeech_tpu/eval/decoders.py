@@ -189,11 +189,18 @@ def beam_ctc_decode(
     lengths: np.ndarray,
     beam_width: int = 16,
     blank_id: int = 0,
+    frame_candidates: Optional[int] = "auto",
 ) -> List[List[int]]:
     """Host-side CTC prefix beam search over log-probabilities.
 
     Args:
         emissions: (B, T, K) log probabilities (np).
+        frame_candidates: per-frame top-k candidate restriction (a speed
+            heuristic matching flashlight-style decoders). ``"auto"`` keeps
+            the historical ``max(beam_width, 4)``; ``None`` disables the
+            restriction, making the search exact over the full vocabulary —
+            the semantics ``beam_ctc_decode_device`` implements and is
+            golden-tested against for vocab > beam_width.
     Returns:
         best token sequence per batch element.
     """
@@ -201,23 +208,35 @@ def beam_ctc_decode(
     results = []
     for b in range(emissions.shape[0]):
         logp = emissions[b, : int(lengths[b])]
-        results.append(_prefix_beam_search(logp, beam_width, blank_id))
+        results.append(
+            _prefix_beam_search(logp, beam_width, blank_id, frame_candidates)
+        )
     return results
 
 
-def _prefix_beam_search(logp: np.ndarray, beam_width: int, blank_id: int):
+def _prefix_beam_search(
+    logp: np.ndarray,
+    beam_width: int,
+    blank_id: int,
+    frame_candidates: Optional[int] = "auto",
+):
     T, K = logp.shape
     NEG = -math.inf
+    if frame_candidates == "auto":
+        frame_candidates = max(beam_width, 4)
     # beams: prefix tuple -> (logp ending in blank, logp ending in non-blank)
     beams = {(): (0.0, NEG)}
     for t in range(T):
         new_beams = defaultdict(lambda: (NEG, NEG))
-        # Restrict to top candidates at this frame for speed — but ALWAYS
-        # include the blank, or live prefixes lose their "stay" transition
-        # and probability mass is misallocated.
-        top_k = list(np.argsort(logp[t])[-max(beam_width, 4) :])
-        if blank_id not in top_k:
-            top_k.append(blank_id)
+        if frame_candidates is None:
+            top_k = list(range(K))
+        else:
+            # Restrict to top candidates at this frame for speed — but
+            # ALWAYS include the blank, or live prefixes lose their "stay"
+            # transition and probability mass is misallocated.
+            top_k = list(np.argsort(logp[t])[-frame_candidates:])
+            if blank_id not in top_k:
+                top_k.append(blank_id)
         for prefix, (p_b, p_nb) in beams.items():
             p_tot = np.logaddexp(p_b, p_nb)
             for k in top_k:

@@ -273,6 +273,55 @@ def main():
         f"B={B_REC} 5.1s audio T={T_REC} melspec+CTC, "
         f"{B_REC * T_REC / (dev or ms) * 1e3:,.0f} frames/s", fl, device_ms=dev)
 
+    # --- CTC decode: greedy vs device prefix-beam vs host beam (eval shape) ---
+    # The eval bucket shape: (B, T, K) = (8, 321, 31) emissions, W in {4, 16}.
+    # beam_ctc_decode_device is the use_beam default in run_recognition_test;
+    # like mean_p2cp_auto, it keeps that status only if it wins here.
+    from functools import partial as _partial
+
+    from artspeech_tpu.eval.decoders import (
+        beam_ctc_decode,
+        beam_ctc_decode_device,
+        greedy_ctc_decode,
+    )
+
+    K_CTC = 31
+    dec_logits = rng.normal(size=(B_REC, T_REC, K_CTC)).astype(np.float32) * 2.0
+    dec_logp = dec_logits - np.log(
+        np.exp(dec_logits - dec_logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
+    ) - dec_logits.max(-1, keepdims=True)
+    emis = jnp.asarray(dec_logp)
+    dec_lengths = jnp.full((B_REC,), T_REC, jnp.int32)
+
+    def decode_chain_of(fn):
+        def chain(carry):
+            e, _ = carry
+            _, lens = fn(e, dec_lengths)
+            anchor = lens.sum().astype(jnp.float32)
+            return dep(e, anchor), anchor
+        return chain
+
+    greedy_j = jax.jit(greedy_ctc_decode)
+    ms, dev = measure(decode_chain_of(greedy_j), (emis, jnp.zeros(())),
+                      lambda c: float(c[1]))
+    add(f"ctc_greedy_decode_b8_T{T_REC}", ms,
+        f"B={B_REC} T={T_REC} K={K_CTC}, device", device_ms=dev)
+
+    for W in (4, 16):
+        beam_j = jax.jit(_partial(beam_ctc_decode_device, beam_width=W))
+        ms, dev = measure(decode_chain_of(beam_j), (emis, jnp.zeros(())),
+                          lambda c: float(c[1]))
+        add(f"ctc_beam_device_b8_T{T_REC}_W{W}", ms,
+            f"B={B_REC} T={T_REC} K={K_CTC} W={W}, device", device_ms=dev)
+
+        host_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            beam_ctc_decode(dec_logp, np.asarray(dec_lengths), beam_width=W)
+            host_times.append((time.perf_counter() - t0) * 1e3)
+        add(f"ctc_beam_host_b8_T{T_REC}_W{W}", min(host_times),
+            f"B={B_REC} T={T_REC} K={K_CTC} W={W}, host python (min of 3)")
+
     # --- Transformer: teacher-forced train step + generate crossover ---
     from artspeech_tpu.models.transformer import ArtSpeechTransformer, make_fast_generate
     from artspeech_tpu.train.step import make_transformer_train_step

@@ -71,6 +71,49 @@ def test_device_beam_agrees_with_greedy_when_deterministic():
         )
 
 
+def test_device_beam_matches_exact_host_when_vocab_exceeds_beam():
+    """Production regime (advisor r2): vocab K=31 > beam W=16. The device
+    decoder never restricts per-frame candidates, so it must match the host
+    search run in exact mode (frame_candidates=None); the restricted host
+    default is allowed to differ here."""
+    rng = np.random.default_rng(3)
+    B, T, K, W = 4, 23, 31, 16
+    logp = _log_softmax(rng.normal(size=(B, T, K)).astype(np.float32) * 2.0)
+    lengths = np.array([23, 15, 7, 23], np.int32)
+    host_exact = beam_ctc_decode(
+        logp, lengths, beam_width=W, frame_candidates=None
+    )
+    toks, lens = beam_ctc_decode_device(
+        jnp.asarray(logp), jnp.asarray(lengths), beam_width=W
+    )
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for i in range(B):
+        assert list(toks[i, : lens[i]]) == host_exact[i], f"row {i}"
+
+
+def test_device_beam_matches_exact_host_small_beam_wide_vocab():
+    """W=4 << K=31 with near-peaked emissions — heavy pruning plus
+    merge-sensitive blank ties."""
+    rng = np.random.default_rng(4)
+    B, T, K, W = 3, 18, 31, 4
+    ids = rng.integers(0, K, size=(B, T))
+    logits = rng.normal(size=(B, T, K)).astype(np.float32)
+    for b in range(B):
+        logits[b, np.arange(T), ids[b]] += 3.0
+    logits[:, ::4, 0] += 2.8  # blank nearly ties the peak
+    logp = _log_softmax(logits)
+    lengths = np.full((B,), T, np.int32)
+    host_exact = beam_ctc_decode(
+        logp, lengths, beam_width=W, frame_candidates=None
+    )
+    toks, lens = beam_ctc_decode_device(
+        jnp.asarray(logp), jnp.asarray(lengths), beam_width=W
+    )
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for b in range(B):
+        assert list(toks[b, : lens[b]]) == host_exact[b], f"row {b}"
+
+
 def test_device_beam_zero_length_row():
     logp = _log_softmax(np.zeros((2, 6, 4), np.float32))
     lengths = np.array([6, 0], np.int32)
