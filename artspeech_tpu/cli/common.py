@@ -33,6 +33,28 @@ def enable_compilation_cache(cache_dir: Optional[str] = None):
         pass
 
 
+def model_kwargs_from_cfg(cfg: Dict, key: str = "model_kwargs") -> Dict:
+    """Model constructor kwargs from a config, with compute-dtype handling.
+
+    Two equivalent spellings select the production bf16 profile (see
+    benchmarks/BENCH_DETAILS.md "bf16 compute knob" — params stay f32):
+
+        compute_dtype: bfloat16          # top level, trainer-agnostic
+        model_kwargs: {dtype: bfloat16}  # per-model
+
+    The top-level key merges into the kwargs without overriding an explicit
+    per-model dtype; strings resolve via core.config.resolve_dtype.
+    """
+    from artspeech_tpu.core.config import resolve_dtype
+
+    kwargs = dict(cfg.get(key) or {})
+    if cfg.get("compute_dtype") is not None:
+        kwargs.setdefault("dtype", cfg["compute_dtype"])
+    if "dtype" in kwargs:
+        kwargs["dtype"] = resolve_dtype(kwargs["dtype"])
+    return kwargs
+
+
 def parse_cli(description: str):
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--config", dest="config_filepath", required=True)

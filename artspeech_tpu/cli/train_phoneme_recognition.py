@@ -80,7 +80,9 @@ def main(cfg, args, tracker):
         with open(cfg["voicing_filepath"]) as f:
             voiced_tokens = json.load(f)
 
-    model_params = dict(cfg.get("model_params") or {})
+    from artspeech_tpu.cli.common import model_kwargs_from_cfg
+
+    model_params = model_kwargs_from_cfg(cfg, key="model_params")
     pretrained_params = None
     if cfg.get("pretrained", False):
         # LibriSpeech-pretrained init with a fresh classifier head
@@ -92,6 +94,7 @@ def main(cfg, args, tracker):
             num_classes=len(vocabulary),
             num_features=model_params.get("num_features", 80),
             adapter_out_features=model_params.get("adapter_out_features"),
+            dtype=model_params.get("dtype"),
         )
     else:
         model = DeepSpeech2(num_classes=len(vocabulary), **model_params)

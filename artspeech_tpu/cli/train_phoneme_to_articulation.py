@@ -46,11 +46,9 @@ def main(cfg, args, tracker):
     clip_tails = cfg.get("clip_tails", True)
     seed = cfg.get("seed", 0)
 
-    model_kwargs = dict(cfg.get("model_kwargs") or {})
-    if "dtype" in model_kwargs:
-        from artspeech_tpu.core.config import resolve_dtype
+    from artspeech_tpu.cli.common import model_kwargs_from_cfg
 
-        model_kwargs["dtype"] = resolve_dtype(model_kwargs["dtype"])
+    model_kwargs = model_kwargs_from_cfg(cfg)
     model = ArtSpeech(
         vocab_size=len(vocabulary),
         n_articulators=len(articulators),

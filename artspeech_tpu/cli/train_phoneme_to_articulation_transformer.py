@@ -44,11 +44,13 @@ def main(cfg, args, tracker):
     seed = cfg.get("seed", 0)
     n_samples = cfg.get("n_samples", 50)
 
+    from artspeech_tpu.cli.common import model_kwargs_from_cfg
+
     model = ArtSpeechTransformer(
         vocab_size=len(vocabulary),
         num_articulators=len(articulators),
         num_feat=2 * n_samples,
-        **(cfg.get("model_kwargs") or {}),
+        **model_kwargs_from_cfg(cfg),
     )
 
     loaders = {}

@@ -189,6 +189,7 @@ def load_librispeech_deepspeech2(
     num_classes: int,
     num_features: int = 80,
     adapter_out_features=None,
+    dtype=None,
 ):
     """Reference ``DeepSpeech2.load_librispeech_model`` equivalent: build the
     flax model with the LibriSpeech architecture (deepspeech2.py:197-211:
@@ -209,6 +210,7 @@ def load_librispeech_deepspeech2(
         num_features=num_features,
         dropout=0.05,
         adapter_out_features=adapter_out_features,
+        dtype=dtype,
     )
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, num_features, 8))
