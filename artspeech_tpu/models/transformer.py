@@ -254,6 +254,11 @@ class ArtSpeechTransformer(nn.Module):
             )
             for _ in range(self.num_layers)
         ]
+        # NOTE: nn.remat on these layers was measured and LOSES (0.84x step,
+        # full-layer AND dots_with_no_batch_dims_saveable policies, f32 and
+        # bf16): the (B, C, C-1, H, L, L) score store is only ~10% of the
+        # step's HBM traffic, so recompute + prevent_cse costs more than it
+        # saves (benchmarks/NOTES.md "Decoder remat").
         self.decoder_layers = [
             MultiChannelDecoderLayer(
                 self.embed_dim,
