@@ -248,7 +248,6 @@ def main():
 
     B_REC, AUDIO_LEN, HOP = 8, 81920, 256
     T_REC = AUDIO_LEN // HOP + 1
-    ds2 = DeepSpeech2(num_classes=31)
     rec_batch = {
         "audio": jnp.asarray(rng.normal(size=(B_REC, AUDIO_LEN)).astype(np.float32)),
         "input_lengths": jnp.full((B_REC,), T_REC, jnp.int32),
@@ -256,22 +255,26 @@ def main():
         "ctc_target_lengths": jnp.full((B_REC,), 40, jnp.int32),
     }
     feats = jnp.zeros((B_REC, 2, 80, T_REC), jnp.float32)
-    params = ds2.init(jax.random.PRNGKey(0), feats,
-                      lengths=rec_batch["input_lengths"])["params"]
-    rec_state = TrainState.create(apply_fn=ds2.apply, params=params, tx=optax.adam(1e-4))
-    rec_step = make_recognition_train_step(ds2, "ctc", "ctc_target", feature="melspec",
-                                           donate=False)
+    for rec_dt in (None, jnp.bfloat16):
+        ds2 = DeepSpeech2(num_classes=31, dtype=rec_dt)
+        params = ds2.init(jax.random.PRNGKey(0), feats,
+                          lengths=rec_batch["input_lengths"])["params"]
+        rec_state = TrainState.create(apply_fn=ds2.apply, params=params,
+                                      tx=optax.adam(1e-4))
+        rec_step = make_recognition_train_step(ds2, "ctc", "ctc_target",
+                                               feature="melspec", donate=False)
 
-    def rec_chain(carry):
-        st, _ = carry
-        st2, m = rec_step(st, rec_batch, jax.random.PRNGKey(0))
-        return st2, m["loss"]
+        def rec_chain(carry, rec_step=rec_step, rec_batch=rec_batch):
+            st, _ = carry
+            st2, m = rec_step(st, rec_batch, jax.random.PRNGKey(0))
+            return st2, m["loss"]
 
-    ms, dev = measure(rec_chain, (rec_state, jnp.zeros(())), lambda c: float(c[1]))
-    fl = 3 * ds2_fwd_flops(B_REC, T_REC) + melspec_fwd_flops(B_REC, T_REC)
-    add("recognizer_train_step_b8", ms,
-        f"B={B_REC} 5.1s audio T={T_REC} melspec+CTC, "
-        f"{B_REC * T_REC / (dev or ms) * 1e3:,.0f} frames/s", fl, device_ms=dev)
+        ms, dev = measure(rec_chain, (rec_state, jnp.zeros(())), lambda c: float(c[1]))
+        fl = 3 * ds2_fwd_flops(B_REC, T_REC) + melspec_fwd_flops(B_REC, T_REC)
+        tag = "recognizer_train_step_b8" + ("_bf16" if rec_dt else "")
+        add(tag, ms,
+            f"B={B_REC} 5.1s audio T={T_REC} melspec+CTC, "
+            f"{B_REC * T_REC / (dev or ms) * 1e3:,.0f} frames/s", fl, device_ms=dev)
 
     # --- CTC decode: greedy vs device prefix-beam vs host beam (eval shape) ---
     # The eval bucket shape: (B, T, K) = (8, 321, 31) emissions, W in {4, 16}.
@@ -493,11 +496,14 @@ def main():
                     f"| {t_gen} | {mb:.1f} | {mf:.1f} | {mb / mf:.2f}x "
                     f"| {pick} | {ok} |\n"
                 )
-        notes = os.path.join(out_dir, "NOTES.md")
-        if os.path.exists(notes):
-            f.write("\n")
-            with open(notes) as nf:
-                f.write(nf.read())
+        # Persistent sections: NOTES.md (findings) and SCALING.md (written
+        # by scaling.py) survive suite reruns by being inlined, not edited.
+        for part in ("NOTES.md", "SCALING.md"):
+            path = os.path.join(out_dir, part)
+            if os.path.exists(path):
+                f.write("\n")
+                with open(path) as nf:
+                    f.write(nf.read())
     print("wrote BENCH_DETAILS.md")
 
 

@@ -273,8 +273,19 @@ def main():
             )
     with open(os.path.join(out_dir, "scaling.json"), "w") as f:
         json.dump(table, f, indent=2)
-    with open(os.path.join(out_dir, "BENCH_DETAILS.md"), "a") as f:
+    # SCALING.md is the persistent artifact run_all.py inlines on rewrite;
+    # update BENCH_DETAILS.md in place too (replacing any prior section).
+    with open(os.path.join(out_dir, "SCALING.md"), "w") as f:
         f.writelines(lines)
+    details_path = os.path.join(out_dir, "BENCH_DETAILS.md")
+    if os.path.exists(details_path):
+        with open(details_path) as f:
+            details = f.read()
+        marker = "\n## Data-parallel distribution cost"
+        if marker in details:
+            details = details[: details.index(marker)]
+        with open(details_path, "w") as f:
+            f.write(details + "".join(lines))
     print(json.dumps(table, indent=2))
 
 
