@@ -196,3 +196,108 @@ def test_intersect_one_wall_endpoint_fallback():
     assert bool(valid[0])
     np.testing.assert_allclose(np.asarray(ipts[0]), [5.0, 2.0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(epts[0]), [20.0, 8.0], atol=1e-5)  # nearest endpoint
+
+
+def _brute_intersect(internal, external, grid):
+    """Scalar numpy reference for intersect_semipolar_grid (float64).
+
+    Mirrors the documented semantics — mutual-nearest crossing pair when
+    both walls are crossed, nearest-endpoint fallback when only one is —
+    with plain loops and fancy indexing, guarding the vectorized one-hot
+    compaction/selection machinery in area_function.py.
+    """
+    L = grid.shape[0]
+    int_pts = np.zeros((L, 2))
+    ext_pts = np.zeros((L, 2))
+    valid = np.zeros(L, bool)
+    for l in range(L):
+        p0, p1 = grid[l, 0].astype(float), grid[l, -1].astype(float)
+        d = p1 - p0
+
+        def crossings(wall):
+            ts = []
+            for s in range(len(wall) - 1):
+                q0 = wall[s].astype(float)
+                e = wall[s + 1].astype(float) - q0
+                denom = d[0] * e[1] - d[1] * e[0]
+                if abs(denom) <= 1e-12:
+                    continue
+                rel = q0 - p0
+                t = (rel[0] * e[1] - rel[1] * e[0]) / denom
+                u = (rel[0] * d[1] - rel[1] * d[0]) / denom
+                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                    ts.append(t)
+            return ts
+
+        ti, te = crossings(internal), crossings(external)
+        if ti and te:
+            pairs = [(abs(a - b), a, b) for a in ti for b in te]
+            _, a, b = min(pairs)
+            int_pts[l] = p0 + a * d
+            ext_pts[l] = p0 + b * d
+            valid[l] = True
+        elif ti or te:
+            ts, other = (ti, external) if ti else (te, internal)
+            endpoints = [other[0].astype(float), other[-1].astype(float)]
+            best = min(
+                (np.sum((p0 + t * d - ep) ** 2), t, tuple(ep))
+                for t in ts
+                for ep in endpoints
+            )
+            d_end = [min(np.sum((p0 + t * d - ep) ** 2) for t in ts) for ep in endpoints]
+            own = p0 + best[1] * d
+            other_pt = endpoints[1] if d_end[1] < d_end[0] else endpoints[0]
+            if ti:
+                int_pts[l], ext_pts[l] = own, other_pt
+            else:
+                int_pts[l], ext_pts[l] = other_pt, own
+            valid[l] = True
+        else:
+            int_pts[l] = ext_pts[l] = p0
+    return int_pts, ext_pts, valid
+
+
+def test_intersect_semipolar_grid_brute_force_golden():
+    """Random wavy walls vs the scalar reference: all three regimes."""
+    rng = np.random.default_rng(3)
+    theta = np.linspace(0.1, np.pi - 0.1, 40)
+    internal = np.stack(
+        [0.8 * np.cos(theta), 0.8 * np.sin(theta)], axis=-1
+    ) + rng.normal(0, 0.02, (40, 2))
+    # External wall covers only the first 60% of the angular range so the
+    # remaining grid lines exercise the one-wall and invalid paths.
+    te_ = np.linspace(0.1, 0.6 * np.pi, 30)
+    external = np.stack(
+        [1.2 * np.cos(te_), 1.2 * np.sin(te_)], axis=-1
+    ) + rng.normal(0, 0.02, (30, 2))
+    ang = np.linspace(0.15, np.pi - 0.15, 24)
+    grid = np.stack(
+        [
+            np.stack([0.5 * np.cos(ang), 0.5 * np.sin(ang)], axis=-1),
+            np.stack([1.5 * np.cos(ang), 1.5 * np.sin(ang)], axis=-1),
+        ],
+        axis=1,
+    ).astype(np.float32)  # (L, 2, 2)
+    # A few lines entirely outside both walls exercise the invalid path.
+    far = np.stack(
+        [
+            np.stack([1.35 * np.cos(ang[:4]), 1.35 * np.sin(ang[:4])], axis=-1),
+            np.stack([1.5 * np.cos(ang[:4]), 1.5 * np.sin(ang[:4])], axis=-1),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    grid = np.concatenate([grid, far], axis=0)
+
+    ref_i, ref_e, ref_v = _brute_intersect(
+        internal.astype(np.float32), external.astype(np.float32), grid
+    )
+    got_i, got_e, got_v = intersect_semipolar_grid(
+        jnp.asarray(internal, jnp.float32),
+        jnp.asarray(external, jnp.float32),
+        jnp.asarray(grid),
+    )
+    # All regimes must actually occur in this fixture.
+    assert ref_v.sum() > 0 and (~ref_v).sum() > 0
+    np.testing.assert_array_equal(np.asarray(got_v), ref_v)
+    np.testing.assert_allclose(np.asarray(got_i), ref_i, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_e), ref_e, atol=2e-4)
