@@ -41,6 +41,14 @@ def main(cfg, args, tracker):
         )
 
     if cfg.get("reference_sampling", False):
+        if cfg.get("n_position_bins", 0):
+            # The reference-sampling parity mode reproduces the reference's
+            # non-positional table; a positional request would be silently
+            # dropped otherwise.
+            raise ValueError(
+                "reference_sampling does not support n_position_bins; "
+                "drop one of the two keys"
+            )
         # Opt-in parity mode: the reference's deterministic pandas 10%
         # subsample per token (phoneme_wise_mean_contour/__init__.py:130).
         table = fit_mean_contour_reference_sampling(

@@ -14,7 +14,7 @@
 
 import math
 from collections import defaultdict
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -189,7 +189,7 @@ def beam_ctc_decode(
     lengths: np.ndarray,
     beam_width: int = 16,
     blank_id: int = 0,
-    frame_candidates: Optional[int] = "auto",
+    frame_candidates: Union[int, str, None] = "auto",
 ) -> List[List[int]]:
     """Host-side CTC prefix beam search over log-probabilities.
 
@@ -218,12 +218,16 @@ def _prefix_beam_search(
     logp: np.ndarray,
     beam_width: int,
     blank_id: int,
-    frame_candidates: Optional[int] = "auto",
+    frame_candidates: Union[int, str, None] = "auto",
 ):
     T, K = logp.shape
     NEG = -math.inf
     if frame_candidates == "auto":
         frame_candidates = max(beam_width, 4)
+    if frame_candidates is not None and frame_candidates < 1:
+        # 0 / negative would silently select (nearly) the whole vocabulary
+        # through the [-n:] slice idiom; demand an explicit None for exact.
+        raise ValueError(f"frame_candidates must be >= 1 or None, got {frame_candidates}")
     # beams: prefix tuple -> (logp ending in blank, logp ending in non-blank)
     beams = {(): (0.0, NEG)}
     for t in range(T):

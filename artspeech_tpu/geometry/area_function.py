@@ -145,7 +145,11 @@ def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid,
         # (argsort on TPU is a bitonic network; this is one small matmul).
         rank = jnp.cumsum(val, axis=1) - 1  # (L, S)
         onehot = (rank[..., None] == jnp.arange(k_cand)) & val[..., None]
-        tc = jnp.einsum("lsk,ls->lk", onehot.astype(t.dtype), t)
+        # precision=highest: the TPU default runs f32 dots as one bf16 MXU
+        # pass, which would quantize the selected t values (~2^-8 rel).
+        tc = jnp.einsum(
+            "lsk,ls->lk", onehot.astype(t.dtype), t, precision="highest"
+        )
         # Slot k is occupied iff the line has > k valid crossings — the
         # count comparison replaces an any() over the (L, S, K) one-hot
         # (0.6ms/step of pure bool reduction in the vmapped pipeline).
@@ -160,7 +164,7 @@ def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid,
         dmin = jnp.min(dist, axis=1, keepdims=True)
         hit = (dist <= dmin).astype(tc.dtype)
         first = hit * (jnp.cumsum(hit, axis=1) <= 1.0)
-        return jnp.einsum("lk,lk->l", first, tc)
+        return jnp.einsum("lk,lk->l", first, tc, precision="highest")
 
     def point_at(t):
         return p0 + t[:, None] * d
@@ -177,7 +181,7 @@ def intersect_semipolar_grid(internal_wall, external_wall, semipolar_grid,
         # dist^2(t, ep) expands on the line: |rel|^2 - 2 t (rel.d) + t^2 |d|^2.
         endpoints = jnp.stack([other_wall[0], other_wall[-1]])  # (2, 2)
         rel = endpoints[None, :, :] - p0[:, None, :]  # (L, 2, 2)
-        rel_d = jnp.einsum("lej,lj->le", rel, d)  # (L, 2)
+        rel_d = jnp.einsum("lej,lj->le", rel, d, precision="highest")  # (L, 2)
         rel2 = jnp.sum(rel * rel, axis=-1)  # (L, 2)
         dist = (
             rel2[:, None, :]
@@ -305,11 +309,18 @@ def tube_area_function(
         # One-hot matmul instead of a row gather: TPU lowers the gather to
         # a slow scalar loop (1.15ms/step vmapped over the synthesis
         # pipeline); an (L, L) one-hot contraction against both walls
-        # stacked is a single fused matmul with identical values.
+        # stacked is a single fused matmul selecting the same rows.
+        # precision=highest keeps it exact (the TPU default would round the
+        # wall coordinates through one bf16 MXU pass); at (L, L) x (L, 4)
+        # the extra passes are noise next to the gather's scalar loop.
         onehot = (take[:, None] == jnp.arange(l)[None, :]).astype(
             internal_wall.dtype
         )  # (L, L)
-        picked = onehot @ jnp.concatenate([internal_wall, external_wall], axis=-1)
+        picked = jnp.matmul(
+            onehot,
+            jnp.concatenate([internal_wall, external_wall], axis=-1),
+            precision="highest",
+        )
         internal_wall, external_wall = picked[:, :2], picked[:, 2:]
     dists, fx = area_function(internal_wall, external_wall, alpha=alpha, beta=beta)
     return evenly_spaced_fx(dists, fx, n_samples=n_samples)

@@ -58,10 +58,9 @@ class ShiftedMatmulConv(nn.Module):
             (k, k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        out_dt = self.dtype or x.dtype
+        dt = self.dtype or x.dtype
         b, t, d, _ = x.shape
         p = k // 2
-        dt = self.dtype or x.dtype
         xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0))).astype(dt)
         wk = kernel.astype(dt)
         acc = None
@@ -74,7 +73,7 @@ class ShiftedMatmulConv(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
                 acc = term if acc is None else acc + term
-        return (acc + bias).astype(out_dt)
+        return (acc + bias).astype(dt)
 
 
 class Adapter(nn.Module):

@@ -57,11 +57,14 @@ def interp1d(x_new, x, y):
     )
     oh0 = (idx[:, None] == jnp.arange(n)).astype(y.dtype)  # (K, N)
     oh1 = (idx[:, None] + 1 == jnp.arange(n)).astype(y.dtype)
-    x0 = oh0 @ x
-    x1 = oh1 @ x
+    # precision=highest: the selected sample values must come through exact
+    # (the TPU default computes f32 dots as one bf16 MXU pass, which would
+    # quantize x0/x1 — and thus the interpolation weights — to ~2^-8 rel).
+    x0 = jnp.matmul(oh0, x, precision="highest")
+    x1 = jnp.matmul(oh1, x, precision="highest")
     w = jnp.where(x1 > x0, (x_new - x0) / jnp.maximum(x1 - x0, 1e-12), 0.0)
-    y0 = jnp.einsum("...n,kn->...k", y, oh0)
-    y1 = jnp.einsum("...n,kn->...k", y, oh1)
+    y0 = jnp.einsum("...n,kn->...k", y, oh0, precision="highest")
+    y1 = jnp.einsum("...n,kn->...k", y, oh1, precision="highest")
     return y0 * (1.0 - w) + y1 * w
 
 

@@ -14,8 +14,8 @@ faster numpy).
 the reference's network forward would move to GPU, but its per-frame
 geometry is host code — so an idealized PyTorch-GPU reference is bounded by
 geometry-only CPU throughput (model time -> 0). That bound is what the
-value is divided by. The plain torch-CPU end-to-end fps (model included) is
-also measured and reported in benchmarks/BENCH_DETAILS.md.
+value is divided by (a torch forward still runs once to produce the
+baseline's input frames, faithful to the reference pipeline).
 
 Measurement protocol (round 3 — pins the ratio, which previously swung
 2.4x run-to-run with host load): the baseline runs single-threaded with
@@ -23,8 +23,8 @@ pinned BLAS/OMP thread counts (the reference's per-frame geometry is
 single-thread host Python), and both sides are measured INTERLEAVED k
 times — TPU chained slope, then baseline geometry, repeated — so a host
 load spike hits both sides of a ratio sample rather than one. The
-reported value/vs_baseline are medians over rounds; the min/max ratio
-band is published alongside.
+reported value/vs_baseline take each side's best-of-k (contention only
+ever adds time); the min/max ratio band is published alongside.
 
 Prints one JSON line:
   {"metric": "synthesis_frames_per_sec", "value": N, "unit": "frames/s",
@@ -277,9 +277,9 @@ def _geometry_frame_np(frame, internal_order, external_order, grid):
 
 def bench_torch_baseline(grid, frames_sub=128):
     """Reference-faithful pipeline: torch BiGRU forward + the real per-frame
-    host geometry. Returns (model_dt seconds, measure_geometry closure);
-    geometry-only fps is the idealized PyTorch-GPU bound (network time ->
-    0, geometry stays on the host as in the reference)."""
+    host geometry. Returns a measure_geometry closure; geometry-only fps is
+    the idealized PyTorch-GPU bound (network time -> 0, geometry stays on
+    the host as in the reference)."""
     import torch
     import torch.nn as nn
 
@@ -313,10 +313,7 @@ def bench_torch_baseline(grid, frames_sub=128):
     tokens = torch.randint(0, VOCAB, (BATCH, SEQ))
 
     with torch.no_grad():
-        model(tokens)  # warmup
-        t0 = time.perf_counter()
         out = model(tokens)
-        model_dt = time.perf_counter() - t0
 
     flat = out.reshape(-1, N_ART, 2, N_SAMPLES).numpy().astype(np.float64)
     sub = flat[:frames_sub]
@@ -332,14 +329,14 @@ def bench_torch_baseline(grid, frames_sub=128):
         assert n_ok > 0, "baseline geometry produced no valid frames"
         return 1.0 / dt_per_frame
 
-    return model_dt, measure_geometry
+    return measure_geometry
 
 
 def main(k=5):
     grid = _semipolar_grid_np()
     measure_tpu = bench_tpu(grid)
     try:
-        model_dt, measure_geometry = bench_torch_baseline(grid)
+        measure_geometry = bench_torch_baseline(grid)
     except Exception:
         measure_geometry = None
 
@@ -354,7 +351,13 @@ def main(k=5):
         fps_i = measure_tpu()
         tpu_samples.append(fps_i)
         if measure_geometry is not None:
-            g_i = measure_geometry()
+            # A baseline failure mid-round degrades vs_baseline instead of
+            # losing the TPU headline (the driver records this JSON line).
+            try:
+                g_i = measure_geometry()
+            except Exception:
+                measure_geometry = None
+                continue
             geom_samples.append(g_i)
             ratios.append(fps_i / g_i)
     fps = float(max(tpu_samples))

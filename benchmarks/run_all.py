@@ -427,6 +427,33 @@ def main():
     add("synthesis_e2e", ms, f"2048 frames, {2048 / (dev or ms) * 1e3:,.0f} frames/s",
         artspeech_fwd_flops(16, 128, 11), device_ms=dev)
 
+    # --- grid-matched synthesis (the bench.py headline program: walls are
+    # re-matched through the semipolar grid before the area function) ---
+    from artspeech_tpu.geometry import default_semipolar_grid
+
+    grid_j = jnp.asarray(default_semipolar_grid())
+
+    @jax.jit
+    def synthesize_grid(params, tokens, lengths):
+        contours = model.apply({"params": params}, tokens, lengths)
+        smooth = jnp.swapaxes(regularize_bsplines(jnp.swapaxes(contours, -1, -2)), -1, -2)
+        flat = smooth.reshape(-1, 11, 2, 50)
+        internal, external = generate_vocal_tract_tube_batch(flat, arts, wall_points=100)
+        area = jax.vmap(
+            lambda i, e: tube_area_function(i, e, semipolar_grid=grid_j, n_samples=200)
+        )(internal, external)
+        return area
+
+    def synth_grid_chain(carry):
+        toks, _ = carry
+        area = synthesize_grid(params, toks, lengths)
+        anchor = area.ravel()[0]
+        return dep(toks, anchor), anchor
+
+    ms, dev = measure(synth_grid_chain, (tokens, jnp.zeros(())), lambda c: float(c[1]))
+    add("synthesis_e2e_grid", ms, f"2048 frames, {2048 / (dev or ms) * 1e3:,.0f} frames/s",
+        artspeech_fwd_flops(16, 128, 11), device_ms=dev)
+
     # --- native contour loader ---
     import tempfile
 

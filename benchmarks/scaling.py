@@ -266,9 +266,11 @@ def main():
             table["wall"][name][dp] = {
                 "per_sample_ms": round(r["per_sample_s"] * 1e3, 3),
             }
+            # Keys come from measure()'s batch_pair, not hardcoded 2/8.
+            b_lo, b_hi = sorted(r["step_s"])
             lines.append(
-                f"| {name} | {dp} | {r['step_s'][2] * 1e3:.2f} "
-                f"| {r['step_s'][8] * 1e3:.2f} "
+                f"| {name} | {dp} | {r['step_s'][b_lo] * 1e3:.2f} "
+                f"| {r['step_s'][b_hi] * 1e3:.2f} "
                 f"| {r['per_sample_s'] * 1e3:.3f} |\n"
             )
     with open(os.path.join(out_dir, "scaling.json"), "w") as f:
