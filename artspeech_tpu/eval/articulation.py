@@ -29,6 +29,7 @@ from artspeech_tpu.ops.bspline import regularize_bsplines
 from artspeech_tpu.ops.distances import (
     euclidean_distance,
     mean_p2cp_auto as mean_p2cp,
+    mean_p2cp_channel_major,
     pearson_correlation,
 )
 from artspeech_tpu.utils.masks import make_padding_mask
@@ -61,9 +62,7 @@ def per_sentence_metrics(outputs, targets, lengths):
     denom_t = jnp.maximum(lengths.astype(outputs.dtype), 1.0)[:, None]
 
     # P2CP / MED per frame -> masked time mean.
-    p2cp = mean_p2cp(
-        jnp.swapaxes(outputs, -1, -2), jnp.swapaxes(targets, -1, -2)
-    )  # (B, T, Nart)
+    p2cp = mean_p2cp_channel_major(outputs, targets)  # (B, T, Nart)
     p2cp = jnp.sum(p2cp * fmask, axis=1) / denom_t  # (B, Nart)
 
     med = jnp.mean(euclidean_distance(outputs, targets), axis=-1)  # (B, T, Nart)

@@ -28,7 +28,7 @@ from artspeech_tpu.eval.artifacts import (
     tvs_to_records,
 )
 from artspeech_tpu.geometry.tract_variables import tract_variables_from_stack
-from artspeech_tpu.ops.distances import mean_p2cp
+from artspeech_tpu.ops.distances import mean_p2cp_channel_major
 from artspeech_tpu.train.pc_step import reconstruction_p2cp_mm
 
 
@@ -62,7 +62,7 @@ def run_autoencoder_test(
         r = recon.reshape(b, len(arts), 2, n_samples) * np.asarray(denorm_std) + np.asarray(denorm_mean)
         t = inputs.reshape(b, len(arts), 2, n_samples) * np.asarray(denorm_std) + np.asarray(denorm_mean)
         p2cp = np.asarray(
-            mean_p2cp(jnp.swapaxes(jnp.asarray(r), -1, -2), jnp.swapaxes(jnp.asarray(t), -1, -2))
+            mean_p2cp_channel_major(jnp.asarray(r), jnp.asarray(t))
         )  # (B, Nart)
         per_art_p2cp.append(p2cp * to_mm)
 

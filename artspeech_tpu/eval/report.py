@@ -20,7 +20,10 @@ import numpy as np
 import pandas as pd
 
 from artspeech_tpu.core.config import DatasetConfig, mm_per_unit
-from artspeech_tpu.ops.distances import euclidean_distance, mean_p2cp
+from artspeech_tpu.ops.distances import (
+    euclidean_distance,
+    mean_p2cp_channel_major,
+)
 
 TV_COLORS = {"LA": "tab:blue", "TTCD": "tab:orange", "TBCD": "tab:green", "VEL": "tab:red"}
 
@@ -69,9 +72,7 @@ def sentence_error_frame(
 
     pred = jnp.asarray(np.stack(preds))  # (T, Nart, 2, D)
     true = jnp.asarray(np.stack(trues))
-    p2cp = np.asarray(
-        mean_p2cp(jnp.swapaxes(pred, -1, -2), jnp.swapaxes(true, -1, -2))
-    )  # (T, Nart)
+    p2cp = np.asarray(mean_p2cp_channel_major(pred, true))  # (T, Nart)
     eucl = np.asarray(euclidean_distance(pred, true).mean(axis=-1))  # (T, Nart)
 
     records = []

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from artspeech_tpu.core.config import DatasetConfig, mm_per_unit
 from artspeech_tpu.ops.distances import (
     euclidean_distance,
-    mean_p2cp_auto as mean_p2cp,
+    mean_p2cp_channel_major,
 )
 from artspeech_tpu.utils.masks import make_padding_mask
 
@@ -56,10 +56,8 @@ def p2cp_distance_mm(
     """
     if to_mm is None:
         to_mm = mm_per_unit(dataset_config) if dataset_config is not None else 1.0
-    # (B, T, Nart, D, 2) point layout for cdist.
-    p2cp = mean_p2cp(
-        jnp.swapaxes(outputs, -1, -2), jnp.swapaxes(targets, -1, -2)
-    )  # (B, T, Nart)
+    # Transpose-free on the (B, T, Nart, 2, D) model layout.
+    p2cp = mean_p2cp_channel_major(outputs, targets)  # (B, T, Nart)
     p2cp_mm = p2cp * to_mm
     mask = make_padding_mask(lengths, outputs.shape[1]).astype(p2cp.dtype)
     per_sentence = jnp.sum(p2cp_mm * mask[:, :, None], axis=(1, 2)) / (

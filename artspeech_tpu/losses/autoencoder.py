@@ -26,7 +26,7 @@ from artspeech_tpu.core.constants import (
     UPPER_INCISOR,
     UPPER_LIP,
 )
-from artspeech_tpu.ops.distances import pairwise_distances
+from artspeech_tpu.ops.distances import min_pairwise_distance_channel_major
 from artspeech_tpu.utils.masks import make_padding_mask
 
 #: reference losses.py:24-29. The reference maps VEL to SOFT_PALATE; corpora
@@ -94,10 +94,8 @@ def critical_loss(
         art1, art2 = TV_TO_ARTICULATOR_MAP[tv]
         a1 = output_shapes[..., _resolve_index(art1, indices), :, :]
         a2 = output_shapes[..., _resolve_index(art2, indices), :, :]
-        d = pairwise_distances(
-            jnp.swapaxes(a1, -1, -2), jnp.swapaxes(a2, -1, -2)
-        )  # (B, T, D, D)
-        dists.append(jnp.min(d.reshape(d.shape[:-2] + (-1,)), axis=-1))  # (B, T)
+        # Transpose-free fused min over the full pairwise set (B, T).
+        dists.append(min_pairwise_distance_channel_major(a1, a2))
     per_tv = jnp.stack(dists, axis=1)  # (B, Ntv, T)
     w = (critical_mask == 1).astype(per_tv.dtype)
     return jnp.sum(per_tv * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -262,15 +260,13 @@ def decoder_mean_p2cp_mm(
 ):
     """Valid metric: decode latents, denormalize, P2CP in mm
     (reference principal_components/metrics.py:12-61)."""
-    from artspeech_tpu.ops.distances import mean_p2cp
+    from artspeech_tpu.ops.distances import mean_p2cp_channel_major
 
     b, t, n_art, _, d = target_shapes.shape
     shapes = decode_fn(rescale_factor * output_pcs).reshape(b, t, n_art, 2, d)
     shapes = shapes * denorm_std + denorm_mean
     targets = target_shapes * denorm_std + denorm_mean
-    p2cp = mean_p2cp(
-        jnp.swapaxes(shapes, -1, -2), jnp.swapaxes(targets, -1, -2)
-    )  # (B, T, Nart)
+    p2cp = mean_p2cp_channel_major(shapes, targets)  # (B, T, Nart)
     mask = make_padding_mask(lengths, t).astype(p2cp.dtype)[:, :, None]
     return jnp.sum(p2cp * mask * to_mm) / jnp.maximum(
         jnp.sum(mask) * n_art, 1.0

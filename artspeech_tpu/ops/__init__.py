@@ -2,6 +2,7 @@ from artspeech_tpu.ops.bspline import bspline_projection, regularize_bsplines
 from artspeech_tpu.ops.distances import (
     euclidean_distance,
     mean_p2cp,
+    mean_p2cp_channel_major,
     min_distance,
     pairwise_distances,
     pearson_correlation,

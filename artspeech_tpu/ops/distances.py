@@ -35,13 +35,58 @@ def min_distance(u, v):
         (dist, idx_u, idx_v): scalars per batch element. Batched, device-side
         equivalent of reference tract_variables.py:23-35 (which used ``.item()``
         host syncs per frame).
+
+    The min/argmin run over SQUARED distances (sqrt is monotone, so the
+    result is identical — correctly-rounded sqrt preserves ordering and ties)
+    and only the winning entry is square-rooted: one transcendental per batch
+    element instead of N*M.
     """
-    d = pairwise_distances(u, v)
-    n, m = d.shape[-2], d.shape[-1]
-    flat = d.reshape(*d.shape[:-2], n * m)
+    sq = _sq_dists_elementwise(u, v)
+    n, m = sq.shape[-2], sq.shape[-1]
+    flat = sq.reshape(*sq.shape[:-2], n * m)
     arg = jnp.argmin(flat, axis=-1)
-    dist = jnp.min(flat, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(jnp.min(flat, axis=-1), 0.0))
     return dist, arg // m, arg % m
+
+
+def _sq_dists_comps(u_comps, v_comps):
+    """(..., N, M) squared distances from per-coordinate (..., N)/(..., M)
+    component arrays, with the coordinate sum unrolled.
+
+    The coordinate sum must NOT be a reduce op: XLA's TPU fusion cannot chain
+    reduce-into-reduce, so ``min(sum(diff**2, -1), -1)`` materializes the full
+    (..., N, M) tensor to HBM between the two reductions (measured: 3.3GB
+    written + read = ~10ms at the B=256 train-step shape). With the per-axis
+    terms written out elementwise, the min is the only reduce and the whole
+    pipeline runs as one loop fusion with nothing materialized.
+    """
+    sq = None
+    for uc, vc in zip(u_comps, v_comps):
+        diff = uc[..., :, None] - vc[..., None, :]
+        term = diff * diff
+        sq = term if sq is None else sq + term
+    return sq
+
+
+def _point_major_comps(u):
+    """(..., N, D) -> D-tuple of (..., N) coordinate arrays."""
+    return tuple(u[..., k] for k in range(u.shape[-1]))
+
+
+def _sq_dists_elementwise(u, v):
+    """(..., N, M) squared distances for point-major (..., N, D) inputs."""
+    return _sq_dists_comps(_point_major_comps(u), _point_major_comps(v))
+
+
+def _directed_min_sq(u, v):
+    """(..., N) min_j |u_i - v_j|^2 — one fused broadcast-subtract/reduce.
+
+    Deliberately re-derives the pairwise tensor per direction: when both
+    axis-mins read one shared (..., N, M) intermediate, XLA materializes it
+    to HBM between fusions. With a single consumer per direction the whole
+    tensor stays in registers/VMEM inside one loop fusion.
+    """
+    return jnp.min(_sq_dists_elementwise(u, v), axis=-1)
 
 
 def mean_p2cp(u, v):
@@ -53,10 +98,42 @@ def mean_p2cp(u, v):
         (...,) mean P2CP. Equivalent of reference
         phoneme_to_articulation/metrics.py:27-46 (``MeanP2CPDistance``) and
         ``vt_tools.metrics.p2cp_mean``.
+
+    Bit-identical to min-then-sqrt over a full distance matrix, but the min
+    runs on squared distances (sqrt is monotone) so only the N + M winners
+    pay a sqrt, and each direction fuses on its own (see _directed_min_sq).
     """
-    d = pairwise_distances(u, v)
-    u2cp = jnp.min(d, axis=-1)
-    v2cp = jnp.min(d, axis=-2)
+    u2cp = jnp.sqrt(jnp.maximum(_directed_min_sq(u, v), 0.0))
+    v2cp = jnp.sqrt(jnp.maximum(_directed_min_sq(v, u), 0.0))
+    return (jnp.mean(u2cp, axis=-1) + jnp.mean(v2cp, axis=-1)) / 2.0
+
+
+def min_pairwise_distance_channel_major(u, v):
+    """(...,) min_{i,j} |u_i - v_j| for channel-major (..., D, N)/(..., D, M)
+    contours: one fused broadcast-subtract + a single two-axis min reduce,
+    transpose-free, with sqrt applied only to the winner (see mean_p2cp)."""
+    d = u.shape[-2]
+    uc = tuple(u[..., k, :] for k in range(d))
+    vc = tuple(v[..., k, :] for k in range(d))
+    sq = jnp.min(_sq_dists_comps(uc, vc), axis=(-2, -1))
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+def mean_p2cp_channel_major(u, v):
+    """mean_p2cp for channel-major (..., D, N) contours — the model-tensor
+    layout (B, T, Nart, 2, n_samples).
+
+    Numerically identical to ``mean_p2cp(swapaxes(u, -1, -2),
+    swapaxes(v, -1, -2))`` but transpose-free: coordinates are sliced off the
+    channel axis, which is contiguous in this layout, so no relayout copy is
+    emitted (the swapaxes form cost ~0.9ms of copies at the B=256 train-step
+    shape).
+    """
+    d = u.shape[-2]
+    uc = tuple(u[..., k, :] for k in range(d))
+    vc = tuple(v[..., k, :] for k in range(d))
+    u2cp = jnp.sqrt(jnp.maximum(jnp.min(_sq_dists_comps(uc, vc), axis=-1), 0.0))
+    v2cp = jnp.sqrt(jnp.maximum(jnp.min(_sq_dists_comps(vc, uc), axis=-1), 0.0))
     return (jnp.mean(u2cp, axis=-1) + jnp.mean(v2cp, axis=-1)) / 2.0
 
 

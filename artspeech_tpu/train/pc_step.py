@@ -20,7 +20,7 @@ from artspeech_tpu.losses.autoencoder import (
     make_autoencoder_loss,
     regularized_latents_mse_loss,
 )
-from artspeech_tpu.ops.distances import mean_p2cp
+from artspeech_tpu.ops.distances import mean_p2cp_channel_major
 
 
 def reconstruction_p2cp_mm(recon, targets, denorm_mean, denorm_std, to_mm, weights=None):
@@ -36,7 +36,7 @@ def reconstruction_p2cp_mm(recon, targets, denorm_mean, denorm_std, to_mm, weigh
     n_samples = flat // 2
     r = recon.reshape(b, n_art, 2, n_samples) * denorm_std + denorm_mean
     t = targets.reshape(b, n_art, 2, n_samples) * denorm_std + denorm_mean
-    p2cp = mean_p2cp(jnp.swapaxes(r, -1, -2), jnp.swapaxes(t, -1, -2))  # (B, Nart)
+    p2cp = mean_p2cp_channel_major(r, t)  # (B, Nart)
     if weights is None:
         return jnp.mean(p2cp) * to_mm
     valid = (weights > 0).astype(p2cp.dtype)
