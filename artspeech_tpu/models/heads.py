@@ -14,11 +14,41 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree ({kernel, bias}) and
+    initializers, but no matmul of its own — the caller fuses several Dense
+    applications into one contraction. Because the scope path and param
+    creation order match nn.Dense, initialization is bit-identical."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class ArticulatorPredictor(nn.Module):
     """LayerNorm/Linear MLP with separate x/y coordinate heads.
 
     (B, T, F) -> (B, T, 2, n_samples). Mirrors reference
     encoder_decoder/models.py:7-33.
+
+    The x/y output layers keep their own Dense_2/Dense_3 parameter scopes
+    (the torch-importer and fast-decode contracts) but run as ONE fused
+    (hidden -> 2*n_samples) matmul: each output column is an independent dot
+    product, so results are bit-identical, while two 50-wide matmuls would
+    each pad to 128 TPU lanes (measured: 2.8ms of the B=256 f32 train step,
+    1.4ms in bf16 — 25.1 -> 22.3ms and 16.9 -> 15.5ms wall).
     """
 
     n_samples: int = 50
@@ -34,9 +64,12 @@ class ArticulatorPredictor(nn.Module):
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.LayerNorm(dtype=self.dtype)(h)
-        x_pos = nn.Dense(self.n_samples, dtype=self.dtype)(h)
-        y_pos = nn.Dense(self.n_samples, dtype=self.dtype)(h)
-        return jnp.stack([x_pos, y_pos], axis=-2)
+        wx, bx = _DenseParams(self.n_samples, self.hidden, name="Dense_2")()
+        wy, by = _DenseParams(self.n_samples, self.hidden, name="Dense_3")()
+        w = jnp.concatenate([wx, wy], axis=-1).astype(h.dtype)
+        b = jnp.concatenate([bx, by]).astype(h.dtype)
+        xy = h @ w + b  # (..., 2 * n_samples) = [x_pos | y_pos]
+        return xy.reshape(*xy.shape[:-1], 2, self.n_samples)
 
 
 def make_articulator_heads(n_articulators: int, **kwargs):

@@ -240,3 +240,46 @@ def test_bfloat16_dtype_string_knob():
                  lengths=jnp.full((2,), 10, jnp.int32))["params"]
     logits = ds2.apply({"params": p}, feats, lengths=jnp.full((2,), 10, jnp.int32))
     assert bool(jnp.isfinite(np.asarray(logits, np.float32)).all())
+
+
+def test_fused_xy_head_matches_separate_denses():
+    """The ArticulatorPredictor's fused (hidden -> 2*n_samples) output matmul
+    must be bit-identical — same param tree, init, and values — to the naive
+    two-Dense form it replaces (the torch-importer contract)."""
+    import flax.linen as nn
+    from typing import Optional
+
+    from artspeech_tpu.models.heads import ArticulatorPredictor
+
+    class SeparatePredictor(nn.Module):
+        n_samples: int = 50
+        hidden: int = 256
+        dtype: Optional[jnp.dtype] = None
+
+        @nn.compact
+        def __call__(self, x):
+            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.Dense(self.hidden, dtype=self.dtype)(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm(dtype=self.dtype)(h)
+            h = nn.Dense(self.hidden, dtype=self.dtype)(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm(dtype=self.dtype)(h)
+            x_pos = nn.Dense(self.n_samples, dtype=self.dtype)(h)
+            y_pos = nn.Dense(self.n_samples, dtype=self.dtype)(h)
+            return jnp.stack([x_pos, y_pos], axis=-2)
+
+    rng = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 5, 128)).astype(np.float32))
+    old, new = SeparatePredictor(), ArticulatorPredictor()
+    po = old.init(rng, x)["params"]
+    pn = new.init(rng, x)["params"]
+    assert jax.tree_util.tree_structure(po) == jax.tree_util.tree_structure(pn)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(po),
+        jax.tree_util.tree_leaves_with_path(pn),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), path
+    yo = old.apply({"params": po}, x)
+    yn = new.apply({"params": pn}, x)
+    assert np.array_equal(np.asarray(yo), np.asarray(yn))

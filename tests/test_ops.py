@@ -43,6 +43,57 @@ def test_mean_p2cp_is_symmetric():
     assert abs(float(mean_p2cp(u, v)) - float(mean_p2cp(v, u))) < 1e-6
 
 
+def test_mean_p2cp_matches_bruteforce_cdist():
+    # The fused formulation (min over squared distances, sqrt on winners,
+    # per-direction derivation) must match naive sqrt-then-min exactly,
+    # including D=3 and asymmetric point counts.
+    rng = np.random.default_rng(7)
+    for n, m, d in ((50, 50, 2), (5, 9, 3), (1, 4, 2)):
+        u = rng.normal(size=(2, 3, n, d)).astype(np.float32)
+        v = rng.normal(size=(2, 3, m, d)).astype(np.float32)
+        dist = np.sqrt(((u[..., :, None, :] - v[..., None, :, :]) ** 2).sum(-1))
+        want = (dist.min(-1).mean(-1) + dist.min(-2).mean(-1)) / 2.0
+        got = np.asarray(mean_p2cp(jnp.asarray(u), jnp.asarray(v)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_mean_p2cp_channel_major_matches_point_major():
+    from artspeech_tpu.ops import mean_p2cp_channel_major
+
+    rng = np.random.default_rng(8)
+    u = rng.normal(size=(4, 6, 2, 50)).astype(np.float32)
+    v = rng.normal(size=(4, 6, 2, 50)).astype(np.float32)
+    want = np.asarray(
+        mean_p2cp(jnp.swapaxes(jnp.asarray(u), -1, -2), jnp.swapaxes(jnp.asarray(v), -1, -2))
+    )
+    got = np.asarray(mean_p2cp_channel_major(jnp.asarray(u), jnp.asarray(v)))
+    assert np.array_equal(got, want)
+
+
+def test_min_pairwise_distance_channel_major():
+    from artspeech_tpu.ops.distances import min_pairwise_distance_channel_major
+
+    rng = np.random.default_rng(9)
+    u = rng.normal(size=(3, 4, 2, 12)).astype(np.float32)
+    v = rng.normal(size=(3, 4, 2, 17)).astype(np.float32)
+    up = np.swapaxes(u, -1, -2)
+    vp = np.swapaxes(v, -1, -2)
+    dist = np.sqrt(((up[..., :, None, :] - vp[..., None, :, :]) ** 2).sum(-1))
+    want = dist.reshape(3, 4, -1).min(-1)
+    got = np.asarray(min_pairwise_distance_channel_major(jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_min_distance_sqrt_after_min_golden():
+    from artspeech_tpu.ops.distances import min_distance
+
+    u = jnp.array([[[0.0, 0.0], [3.0, 4.0]]])  # (1, 2, 2)
+    v = jnp.array([[[6.0, 8.0], [3.0, 3.0]]])
+    dist, iu, iv = min_distance(u, v)
+    assert abs(float(dist[0]) - 1.0) < 1e-6  # (3,4) -> (3,3)
+    assert int(iu[0]) == 1 and int(iv[0]) == 1
+
+
 def test_euclidean_distance_layout():
     # (..., 2, D) layout as in the reference loss.
     out = jnp.zeros((1, 1, 1, 2, 4))
