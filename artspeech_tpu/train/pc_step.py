@@ -55,8 +55,15 @@ def make_autoencoder_train_step(
     denorm_std,
     to_mm: float,
     donate: bool = True,
+    with_p2cp: bool = False,
 ):
-    """Frame AE training step over {inputs (B, Nart, F), weights (B,)}."""
+    """Frame AE training step over {inputs (B, Nart, F), weights (B,)}.
+
+    ``with_p2cp`` adds the reconstruction-P2CP metric to the train step.
+    Off by default: the reference computes fn_metrics only in the VALID
+    phase (train_principal_components_autoencoder.py:200-226 passes
+    ``fn_metrics`` to the valid run_autoencoder_epoch only); model
+    selection uses the valid epoch's p2cp_mm either way."""
 
     def train_step(state, batch):
         def loss_fn(params):
@@ -75,13 +82,12 @@ def make_autoencoder_train_step(
             state.params
         )
         state = state.apply_gradients(grads=grads)
-        metrics = {
-            "loss": loss,
-            "p2cp_mm": reconstruction_p2cp_mm(
+        metrics = {"loss": loss}
+        if with_p2cp:
+            metrics["p2cp_mm"] = reconstruction_p2cp_mm(
                 recon, batch["inputs"], denorm_mean, denorm_std, to_mm,
                 weights=batch["weights"],
-            ),
-        }
+            )
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -117,8 +123,14 @@ def make_latent_rnn_train_step(
     to_mm: float,
     rescale_factor: float = 1.0,
     donate: bool = True,
+    with_p2cp: bool = False,
 ):
-    """Latent-RNN training step; ``loss_fn`` from make_autoencoder_loss."""
+    """Latent-RNN training step; ``loss_fn`` from make_autoencoder_loss.
+
+    ``with_p2cp`` adds the decoded-contour P2CP metric (an extra frozen-AE
+    decode of every frame) to the train step. Off by default: the reference
+    computes DecoderMeanP2CPDistance2 only in the VALID phase
+    (train_phoneme_to_principal_components.py:360-380)."""
 
     def train_step(state, batch, dropout_rng):
         def inner(params):
@@ -141,9 +153,9 @@ def make_latent_rnn_train_step(
 
         (loss, pcs), grads = jax.value_and_grad(inner, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
-        metrics = {
-            "loss": loss,
-            "p2cp_mm": decoder_mean_p2cp_mm(
+        metrics = {"loss": loss}
+        if with_p2cp:
+            metrics["p2cp_mm"] = decoder_mean_p2cp_mm(
                 pcs,
                 batch["targets"],
                 batch["lengths"],
@@ -152,8 +164,7 @@ def make_latent_rnn_train_step(
                 denorm_std,
                 to_mm,
                 rescale_factor=rescale_factor,
-            ),
-        }
+            )
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

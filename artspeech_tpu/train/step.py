@@ -25,6 +25,7 @@ def make_artspeech_train_step(
     donate: bool = True,
     recognizer_fn=None,
     recognition_weight: float = 1.0,
+    with_p2cp: bool = False,
 ):
     """Build the jitted training step for ArtSpeech-family models.
 
@@ -35,6 +36,14 @@ def make_artspeech_train_step(
     (shapes (B, C, Nart*D, T), voicing) -> (B, T, F)), the loss adds the deep
     perceptual supervision term of reference encoder_decoder/loss.py:6-37
     (``ArtSpeechLoss``): MSE between recognizer features of outputs vs targets.
+
+    ``with_p2cp`` adds the P2CP metric to the train-step outputs. Off by
+    default: the reference computes fn_metrics only in the VALID phase
+    (train_phoneme_to_articulation.py:259-284 passes ``fn_metrics`` to
+    run_epoch for VALID but not TRAIN), and the 50x50 pairwise-distance
+    pipeline over every (B, T, Nart) contour costs a measured 3.8ms f32 /
+    3.6ms bf16 of the B=256 step (~17/23%). Model selection is unaffected —
+    ``fit`` monitors the valid-epoch metric.
     """
 
     def train_step(state, batch, dropout_rng):
@@ -67,12 +76,11 @@ def make_artspeech_train_step(
             state.params
         )
         state = state.apply_gradients(grads=grads)
-        metrics = {
-            "loss": loss,
-            "p2cp_mm": p2cp_distance_mm(
+        metrics = {"loss": loss}
+        if with_p2cp:
+            metrics["p2cp_mm"] = p2cp_distance_mm(
                 outputs, batch["targets"], batch["lengths"], to_mm=to_mm
-            ),
-        }
+            )
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -107,8 +115,15 @@ def shift_targets_right(targets):
     return jnp.concatenate([start, flat[:, :-1]], axis=1)
 
 
-def make_transformer_train_step(to_mm: float, donate: bool = True):
-    """Teacher-forced training step for ArtSpeechTransformer."""
+def make_transformer_train_step(
+    to_mm: float, donate: bool = True, with_p2cp: bool = False
+):
+    """Teacher-forced training step for ArtSpeechTransformer.
+
+    ``with_p2cp`` as in :func:`make_artspeech_train_step` — the reference
+    trainer computes P2CP only on the valid phase
+    (train_phoneme_to_articulation_transformer.py mirrors
+    train_phoneme_to_articulation.py's run_epoch split)."""
 
     def train_step(state, batch, dropout_rng):
         def loss_fn(params):
@@ -129,12 +144,11 @@ def make_transformer_train_step(to_mm: float, donate: bool = True):
             state.params
         )
         state = state.apply_gradients(grads=grads)
-        metrics = {
-            "loss": loss,
-            "p2cp_mm": p2cp_distance_mm(
+        metrics = {"loss": loss}
+        if with_p2cp:
+            metrics["p2cp_mm"] = p2cp_distance_mm(
                 outputs, batch["targets"], batch["lengths"], to_mm=to_mm
-            ),
-        }
+            )
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -100,6 +100,7 @@ def test_autoencoder_trains():
     step = make_autoencoder_train_step(
         model, d, alpha=0.1, denorm_mean=jnp.asarray(denorm_mean),
         denorm_std=jnp.asarray(denorm_std), to_mm=220.0, donate=False,
+        with_p2cp=True,
     )
     batch = {"inputs": jnp.asarray(x), "weights": jnp.ones((16,))}
     losses = []
@@ -245,7 +246,8 @@ def test_latent_rnn_and_composite_loss():
         "voicing": jnp.zeros((B, T)),
     }
     train_step = make_latent_rnn_train_step(
-        model, loss_fn, decode_fn, denorm_mean, denorm_std, to_mm=220.0, donate=False
+        model, loss_fn, decode_fn, denorm_mean, denorm_std, to_mm=220.0,
+        donate=False, with_p2cp=True,
     )
     losses = []
     for i in range(10):

@@ -40,7 +40,7 @@ def test_sharded_train_step_matches_single_device():
     batch = {"tokens": tokens, "targets": targets, "lengths": lengths}
 
     state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-3)
-    step = make_artspeech_train_step(to_mm=220.0, donate=False)
+    step = make_artspeech_train_step(to_mm=220.0, donate=False, with_p2cp=True)
     _, metrics_single = step(state, batch, jax.random.PRNGKey(1))
 
     mesh = make_mesh(model_parallel=2)
