@@ -20,7 +20,8 @@ which is exact for any constant per-measurement overhead.
 import time
 
 
-def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3):
+def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3,
+               in_graph=True):
     """Median per-iteration wall time (ms) of a dependency-chained step.
 
     Args:
@@ -34,6 +35,12 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3):
         n2: long-chain length; if None, sized so the long chain spans
             ~target_ms of device work (>= n1 + 16).
         repeats: slope is measured this many times; median returned.
+        in_graph: run the n-iteration chain inside ONE jitted
+            ``lax.fori_loop`` (n is a traced bound: one compile) so a loaded
+            host cannot inflate the slope with per-iteration dispatch cost —
+            the eager per-call chain measured up to 1.4x slow under host
+            load. Falls back to the eager chain automatically when ``step``
+            is not jit-traceable (host callbacks, numpy side effects).
     Returns:
         (ms_per_iter, carry) — the carry is returned so callers can fetch
         values or chain further measurements.
@@ -41,30 +48,44 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3):
     carry = step(carry0)
     fetch(carry)  # compile + warm
 
+    run_n = None
+    if in_graph:
+        import jax
+
+        @jax.jit
+        def chain_n(c, n):
+            return jax.lax.fori_loop(0, n, lambda i, cc: step(cc), c)
+
+        try:
+            warm = chain_n(carry, 2)
+            fetch(warm)
+
+            def run_n(n):
+                t0 = time.perf_counter()
+                fetch(chain_n(carry, n))
+                return time.perf_counter() - t0
+
+        except Exception:
+            run_n = None  # fall back to the eager chain
+
+    if run_n is None:
+
+        def run_n(n):
+            c = carry
+            t0 = time.perf_counter()
+            for _ in range(n):
+                c = step(c)
+            fetch(c)
+            return time.perf_counter() - t0
+
     if n2 is None:
-        t0 = time.perf_counter()
-        c = carry
-        for _ in range(8):
-            c = step(c)
-        fetch(c)
-        rough = max((time.perf_counter() - t0) / 8.0, 1e-5)
+        rough = max(run_n(8) / 8.0, 1e-5)
         n2 = n1 + max(16, min(512, int(target_ms * 1e-3 / rough)))
 
     slopes = []
     for _ in range(repeats):
-        c = carry
-        t0 = time.perf_counter()
-        for _ in range(n1):
-            c = step(c)
-        fetch(c)
-        t_short = time.perf_counter() - t0
-
-        c = carry
-        t0 = time.perf_counter()
-        for _ in range(n2):
-            c = step(c)
-        fetch(c)
-        t_long = time.perf_counter() - t0
+        t_short = run_n(n1)
+        t_long = run_n(n2)
         slopes.append((t_long - t_short) / (n2 - n1))
     slopes.sort()
     return float(slopes[len(slopes) // 2] * 1e3), carry
