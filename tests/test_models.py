@@ -105,6 +105,37 @@ def test_p2cp_mm_identity_is_zero():
     assert float(p2cp_distance_mm(x, x, lengths, to_mm=220.0)) < 1e-5
 
 
+def test_train_step_p2cp_metric_is_opt_in():
+    """The reference computes fn_metrics only in the VALID phase
+    (train_phoneme_to_articulation.py:259-284): the default train step must
+    report only the loss; with_p2cp=True adds the metric."""
+    vocab, n_art, T, D = 12, 3, 6, 50
+    rng = np.random.default_rng(11)
+    batch = {
+        "tokens": jnp.array(rng.integers(0, vocab, size=(2, T))),
+        "targets": jnp.array(
+            rng.uniform(0.2, 0.8, size=(2, T, n_art, 2, D)), jnp.float32
+        ),
+        "lengths": jnp.array([6, 4]),
+    }
+    model = ArtSpeech(
+        vocab_size=vocab, n_articulators=n_art, hidden_size=16, embed_dim=8
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (batch["tokens"], batch["lengths"]), 1e-3
+    )
+    plain = make_artspeech_train_step(to_mm=220.0, donate=False)
+    _, metrics = plain(state, batch, jax.random.PRNGKey(1))
+    assert set(metrics) == {"loss"}
+    with_metric = make_artspeech_train_step(
+        to_mm=220.0, donate=False, with_p2cp=True
+    )
+    _, metrics2 = with_metric(state, batch, jax.random.PRNGKey(1))
+    assert set(metrics2) == {"loss", "p2cp_mm"}
+    assert float(metrics2["loss"]) == float(metrics["loss"])
+    assert np.isfinite(float(metrics2["p2cp_mm"]))
+
+
 def test_train_step_overfits_tiny_batch():
     """Two-sentence overfit: loss must drop by >3x in 60 steps."""
     vocab, n_art, T, D = 12, 4, 8, 50
