@@ -203,7 +203,10 @@ def main():
             def p2cp_chain(carry, kern=kern):
                 u, v = carry
                 out = kern(u, v)
-                return dep(u, out.ravel()[0]), v
+                # Sum anchor: a single-element anchor would let XLA DCE the
+                # other rows once the chain runs inside chained_ms's jitted
+                # fori_loop (same rationale as bench.py's anchor).
+                return dep(u, jnp.sum(out)), v
             ms, dev = measure(p2cp_chain, (u0, v0),
                               lambda c: float(c[0].ravel()[0]))
             add(f"p2cp_{name}_{tag}", ms, "chained", fl, by, device_ms=dev)
@@ -381,7 +384,7 @@ def main():
             def gen_chain(carry):
                 src_c, _ = carry
                 frames = g(tr_params, src_c, len_g)
-                anchor = frames.ravel()[0]
+                anchor = jnp.sum(frames)  # sum: no DCE inside the fori chain
                 return dep(src_c, anchor), anchor
             return gen_chain
 
@@ -420,7 +423,7 @@ def main():
     def synth_chain(carry):
         toks, _ = carry
         area = synthesize(params, toks, lengths)
-        anchor = area.ravel()[0]
+        anchor = jnp.sum(area) * 1e-9  # sum: no DCE inside the fori chain
         return dep(toks, anchor), anchor
 
     ms, dev = measure(synth_chain, (tokens, jnp.zeros(())), lambda c: float(c[1]))
@@ -447,7 +450,7 @@ def main():
     def synth_grid_chain(carry):
         toks, _ = carry
         area = synthesize_grid(params, toks, lengths)
-        anchor = area.ravel()[0]
+        anchor = jnp.sum(area) * 1e-9  # sum: no DCE inside the fori chain
         return dep(toks, anchor), anchor
 
     ms, dev = measure(synth_grid_chain, (tokens, jnp.zeros(())), lambda c: float(c[1]))

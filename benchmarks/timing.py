@@ -17,7 +17,24 @@ chain. The fixed fetch/RTT cost is removed with a two-point slope:
 which is exact for any constant per-measurement overhead.
 """
 
+import sys
 import time
+
+
+def make_in_graph_chain(step):
+    """Jit ``step`` iterated n times inside one ``lax.fori_loop``.
+
+    Returns ``chain_n(carry, n) -> carry`` with ``n`` a traced loop bound
+    (one compiled program for every n). Raises at call time if ``step`` is
+    not jit-traceable.
+    """
+    import jax
+
+    @jax.jit
+    def chain_n(c, n):
+        return jax.lax.fori_loop(0, n, lambda i, cc: step(cc), c)
+
+    return chain_n
 
 
 def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3,
@@ -39,8 +56,13 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3,
             ``lax.fori_loop`` (n is a traced bound: one compile) so a loaded
             host cannot inflate the slope with per-iteration dispatch cost —
             the eager per-call chain measured up to 1.4x slow under host
-            load. Falls back to the eager chain automatically when ``step``
-            is not jit-traceable (host callbacks, numpy side effects).
+            load. Falls back to the eager chain (with a stderr warning) when
+            the loop program fails to build. Costs one extra compile per
+            call (the loop-wrapped program; the persistent compilation
+            cache amortizes reruns). CAUTION: chains whose anchor is a
+            single element (``out.ravel()[0]``) must switch to a full
+            reduction (``out.sum()``) — inside one program XLA may
+            dead-code-eliminate work that feeds no loop output.
     Returns:
         (ms_per_iter, carry) — the carry is returned so callers can fetch
         values or chain further measurements.
@@ -50,12 +72,7 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3,
 
     run_n = None
     if in_graph:
-        import jax
-
-        @jax.jit
-        def chain_n(c, n):
-            return jax.lax.fori_loop(0, n, lambda i, cc: step(cc), c)
-
+        chain_n = make_in_graph_chain(step)
         try:
             warm = chain_n(carry, 2)
             fetch(warm)
@@ -65,8 +82,18 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3,
                 fetch(chain_n(carry, n))
                 return time.perf_counter() - t0
 
-        except Exception:
-            run_n = None  # fall back to the eager chain
+        except Exception as e:
+            # Any failure (non-traceable step, carry dtype mismatch, loop
+            # compile OOM) downgrades to the eager chain — say so loudly:
+            # an eager row silently mixed into an in-graph table reads as a
+            # regression that is pure methodology skew.
+            print(
+                f"[timing] in-graph chain failed ({type(e).__name__}: {e}); "
+                "falling back to the EAGER chain — this row includes "
+                "per-iteration host dispatch",
+                file=sys.stderr,
+            )
+            run_n = None
 
     if run_n is None:
 

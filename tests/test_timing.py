@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
-from timing import chained_ms, dep  # noqa: E402
+from timing import chained_ms, dep, make_in_graph_chain  # noqa: E402
 
 
 def _mm_step(a):
@@ -26,22 +26,22 @@ def _mm_step(a):
 
 
 def test_in_graph_chain_executes_every_step():
-    # x -> 2x per step; after n steps the value proves all steps ran and
-    # were sequenced (the result is data-dependent on every iteration).
-    x0 = jnp.ones((8, 128))
+    # Counter carry: after chain_n(carry, n) the count must read exactly n
+    # and the value 2^n — proves all n iterations ran, sequenced, none
+    # dead-code-eliminated or collapsed.
+    def step(c):
+        x, count = c
+        return x * 2.0, count + 1
 
-    def double(c):
-        return c * 2.0
-
-    ms, carry = chained_ms(
-        double, x0, lambda c: float(c[0, 0]), n1=2, n2=10, repeats=1
-    )
-    # carry returned is the warmup carry (1 step)
-    assert float(carry[0, 0]) == 2.0
-    assert ms >= 0.0 or np.isfinite(ms)  # slope of a ~free op can jitter
+    chain_n = make_in_graph_chain(step)
+    x0 = (jnp.ones((4, 4)), jnp.zeros((), jnp.int32))
+    for n in (1, 7, 23):
+        x, count = chain_n(x0, n)
+        assert int(count) == n
+        np.testing.assert_allclose(np.asarray(x), 2.0**n)
 
 
-def test_in_graph_and_eager_slopes_agree():
+def test_in_graph_slope_not_slower_than_eager():
     a = jnp.asarray(
         np.random.default_rng(0).normal(size=(256, 256)).astype(np.float32)
         * 0.05
@@ -53,12 +53,14 @@ def test_in_graph_and_eager_slopes_agree():
     ms_eager, _ = chained_ms(
         step, x0, fetch, n1=4, n2=40, repeats=3, in_graph=False
     )
-    # Same op, same hardware: the two estimators must agree within noise
-    # (CI hosts jitter; 3x is far tighter than the bugs this guards against:
-    # a broken chain measures ~0, a non-fused loop measures dispatch).
     assert ms_graph > 0 and ms_eager > 0
-    ratio = ms_graph / ms_eager
-    assert 1 / 3 < ratio < 3, (ms_graph, ms_eager)
+    # One-sided: the eager chain adds per-iteration dispatch, which host
+    # load can inflate without bound — so only the upper side is a stable
+    # invariant (in-graph must not be meaningfully slower than eager), and
+    # a loose lower bound catches a chain that measures ~nothing (e.g. the
+    # loop body DCE'd away).
+    assert ms_graph < ms_eager * 2.0, (ms_graph, ms_eager)
+    assert ms_graph > ms_eager / 50.0, (ms_graph, ms_eager)
 
 
 def test_non_traceable_step_falls_back_to_eager():
