@@ -106,8 +106,14 @@ def chained_ms(step, carry0, fetch, n1=4, n2=None, target_ms=80.0, repeats=3,
             return time.perf_counter() - t0
 
     if n2 is None:
-        rough = max(run_n(8) / 8.0, 1e-5)
-        n2 = n1 + max(16, min(512, int(target_ms * 1e-3 / rough)))
+        # Slope-based rough estimate: a single run_n(8)/8 includes the fixed
+        # fetch/RTT cost (~25ms through the tunnel), which swamps tiny
+        # kernels and under-sizes n2 so badly the final slope can go
+        # negative on noise. Differencing two chain lengths removes it.
+        t8 = run_n(8)
+        t24 = run_n(24)
+        rough = max((t24 - t8) / 16.0, 1e-6)
+        n2 = n1 + max(16, min(4096, int(target_ms * 1e-3 / rough)))
 
     slopes = []
     for _ in range(repeats):
