@@ -47,20 +47,21 @@ class GRULayer(nn.Module):
     reverse: bool = False
     dtype: Optional[jnp.dtype] = None
     project_only: bool = False
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
         """
         Args:
-            x: (B, T, E) inputs.
-            mask: (B, T) bool; True on valid timesteps.
+            x: (B, T, E) inputs — or (T, B, E) with ``time_major=True``.
+            mask: (B, T) bool (or (T, B) time-major); True on valid steps.
         Returns:
-            (B, T, H) outputs. At padded positions the carry is frozen, so
-            outputs there repeat the last valid hidden state; every masked
-            consumer ignores them (valid-region outputs match torch
-            pack_padded exactly — see tests/test_gru_torch_parity.py).
+            (B, T, H) (or (T, B, H)) outputs. At padded positions the carry
+            is frozen, so outputs there repeat the last valid hidden state;
+            every masked consumer ignores them (valid-region outputs match
+            torch pack_padded exactly — see tests/test_gru_torch_parity.py).
         """
-        batch, _, in_features = x.shape
+        in_features = x.shape[-1]
         hidden = self.hidden_size
         dtype = self.dtype or x.dtype
 
@@ -73,12 +74,22 @@ class GRULayer(nn.Module):
         # One big MXU matmul for every timestep's input projection.
         x_proj = x.astype(dtype) @ w_i.astype(dtype) + b_i.astype(dtype)
 
+        w_h_c = w_h.astype(dtype)
+        b_h_c = b_h.astype(dtype)
+
+        if self.time_major:
+            # Zero-relayout path: the scan consumes the leading (time) axis
+            # directly and the reverse direction traverses via
+            # scan(reverse=True) instead of flipping data. Numerics are
+            # identical to the batch-major path; only copies disappear.
+            return _gru_scan(
+                x_proj, w_h_c, b_h_c, mask, hidden,
+                time_major=True, reverse=self.reverse,
+            )
+
         if self.reverse:
             x_proj = x_proj[:, ::-1]
             mask = mask[:, ::-1]
-
-        w_h_c = w_h.astype(dtype)
-        b_h_c = b_h.astype(dtype)
 
         if self.project_only:
             return x_proj, w_h_c, b_h_c, mask
@@ -89,15 +100,19 @@ class GRULayer(nn.Module):
         return ys
 
 
-def _gru_scan(x_proj, w_h, b_h, mask, hidden):
+def _gru_scan(x_proj, w_h, b_h, mask, hidden, time_major=False, reverse=False):
     """Masked GRU recurrence over hoisted input projections.
 
     Batch-polymorphic: leading axes of ``x_proj``/``mask``/``w_h`` may carry
     an extra direction axis (w_h (D, H, 3H) with x_proj (D, B, T, 3H)) —
     the matmul becomes a batched einsum either way.
+
+    With ``time_major=True``, ``x_proj`` is (T, ..., 3H) / ``mask`` (T, ...)
+    and the scan consumes the leading axis with no moveaxis copies in or
+    out; ``reverse=True`` walks time backward (outputs still stacked in
+    forward index order), replacing explicit data flips.
     """
-    batch_shape = x_proj.shape[:-2]
-    t = x_proj.shape[-2]
+    batch_shape = x_proj.shape[1:-1] if time_major else x_proj.shape[:-2]
 
     def matmul(h, w):
         if w.ndim == 2:
@@ -117,14 +132,17 @@ def _gru_scan(x_proj, w_h, b_h, mask, hidden):
         return h_new, h_new
 
     h0 = jnp.zeros(batch_shape + (hidden,), x_proj.dtype)
+    if time_major:
+        xs = (x_proj, mask)
+    else:
+        xs = (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0))
     # unroll=8: each while iteration on TPU pays ~5us of fixed per-op cost
     # across the ~8 fused gate ops; unrolling fuses 8 timesteps into one
     # loop body (measured 14x fwd+bwd on the isolated recurrence at the
     # thesis batch, 1.16x at B=256; unroll=16 regresses both).
-    _, ys = jax.lax.scan(
-        step, h0, (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0)),
-        unroll=8,
-    )
+    _, ys = jax.lax.scan(step, h0, xs, unroll=8, reverse=reverse)
+    if time_major:
+        return ys  # (T, ..., H)
     return jnp.moveaxis(ys, 0, -2)  # (..., T, H)
 
 
@@ -156,9 +174,9 @@ class BiGRU(nn.Module):
         fuse = self.fuse_directions
         if fuse is None:
             fuse = x.shape[0] <= 16
-        out = x
-        for layer in range(self.num_layers):
-            if fuse:
+        if fuse:
+            out = x
+            for layer in range(self.num_layers):
                 xp_f, wh_f, bh_f, mask_f = GRULayer(
                     self.hidden_size, reverse=False, dtype=self.dtype,
                     project_only=True,
@@ -175,13 +193,27 @@ class BiGRU(nn.Module):
                     self.hidden_size,
                 )  # (2, B, T, H)
                 out = jnp.concatenate([ys[0], ys[1][:, ::-1]], axis=-1)
-            else:
-                fwd = GRULayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
-                bwd = GRULayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
-                out = jnp.concatenate([fwd, bwd], axis=-1)
+                if self.dropout > 0.0 and layer < self.num_layers - 1:
+                    out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+            return out
+
+        # Large batches: time-major internal layout. One small transpose in
+        # ((B, T, E) -> (T, B, E)) and one out replace per-layer moveaxis of
+        # the (B, T, 3H) projections + explicit flips for the reverse
+        # direction — the scan consumes the leading axis directly and the
+        # backward pass reuses the same layout (measured ~5ms of relayout
+        # copies in the b256 train step, benchmarks/BENCH_DETAILS.md).
+        out = jnp.swapaxes(x, 0, 1)
+        mask_tm = jnp.swapaxes(mask, 0, 1)
+        for layer in range(self.num_layers):
+            fwd = GRULayer(self.hidden_size, reverse=False, dtype=self.dtype,
+                           time_major=True)(out, mask_tm)
+            bwd = GRULayer(self.hidden_size, reverse=True, dtype=self.dtype,
+                           time_major=True)(out, mask_tm)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
-        return out
+        return jnp.swapaxes(out, 0, 1)
 
 
 class GRUStack(nn.Module):
@@ -194,12 +226,17 @@ class GRUStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
-        out = x
+        # Time-major internal layout (see BiGRU): the scans consume the
+        # leading axis directly, replacing per-layer moveaxis copies with
+        # one small transpose in and one out.
+        out = jnp.swapaxes(x, 0, 1)
+        mask_tm = jnp.swapaxes(mask, 0, 1)
         for layer in range(self.num_layers):
-            out = GRULayer(self.hidden_size, dtype=self.dtype)(out, mask)
+            out = GRULayer(self.hidden_size, dtype=self.dtype,
+                           time_major=True)(out, mask_tm)
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
-        return out
+        return jnp.swapaxes(out, 0, 1)
 
 
 class BiLSTM(nn.Module):
@@ -220,9 +257,9 @@ class BiLSTM(nn.Module):
         fuse = self.fuse_directions
         if fuse is None:
             fuse = x.shape[0] <= 16
-        out = x
-        for layer in range(self.num_layers):
-            if fuse:
+        if fuse:
+            out = x
+            for layer in range(self.num_layers):
                 xp_f, wh_f, bh_f, mask_f = LSTMLayer(
                     self.hidden_size, reverse=False, dtype=self.dtype,
                     project_only=True,
@@ -239,13 +276,22 @@ class BiLSTM(nn.Module):
                     self.hidden_size,
                 )  # (2, B, T, H)
                 out = jnp.concatenate([ys[0], ys[1][:, ::-1]], axis=-1)
-            else:
-                fwd = LSTMLayer(self.hidden_size, reverse=False, dtype=self.dtype)(out, mask)
-                bwd = LSTMLayer(self.hidden_size, reverse=True, dtype=self.dtype)(out, mask)
-                out = jnp.concatenate([fwd, bwd], axis=-1)
+                if self.dropout > 0.0 and layer < self.num_layers - 1:
+                    out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+            return out
+
+        # Time-major internal layout for large batches (see BiGRU).
+        out = jnp.swapaxes(x, 0, 1)
+        mask_tm = jnp.swapaxes(mask, 0, 1)
+        for layer in range(self.num_layers):
+            fwd = LSTMLayer(self.hidden_size, reverse=False, dtype=self.dtype,
+                            time_major=True)(out, mask_tm)
+            bwd = LSTMLayer(self.hidden_size, reverse=True, dtype=self.dtype,
+                            time_major=True)(out, mask_tm)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
-        return out
+        return jnp.swapaxes(out, 0, 1)
 
 
 class LSTMLayer(nn.Module):
@@ -260,10 +306,11 @@ class LSTMLayer(nn.Module):
     reverse: bool = False
     dtype: Optional[jnp.dtype] = None
     project_only: bool = False
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
-        batch, _, in_features = x.shape
+        in_features = x.shape[-1]
         hidden = self.hidden_size
         dtype = self.dtype or x.dtype
 
@@ -274,12 +321,19 @@ class LSTMLayer(nn.Module):
         b_h = self.param("bh", init, (4 * hidden,))
 
         x_proj = x.astype(dtype) @ w_i.astype(dtype) + b_i.astype(dtype)
-        if self.reverse:
-            x_proj = x_proj[:, ::-1]
-            mask = mask[:, ::-1]
 
         w_h_c = w_h.astype(dtype)
         b_h_c = b_h.astype(dtype)
+
+        if self.time_major:
+            return _lstm_scan(
+                x_proj, w_h_c, b_h_c, mask, hidden,
+                time_major=True, reverse=self.reverse,
+            )
+
+        if self.reverse:
+            x_proj = x_proj[:, ::-1]
+            mask = mask[:, ::-1]
 
         if self.project_only:
             return x_proj, w_h_c, b_h_c, mask
@@ -290,10 +344,11 @@ class LSTMLayer(nn.Module):
         return ys
 
 
-def _lstm_scan(x_proj, w_h, b_h, mask, hidden):
+def _lstm_scan(x_proj, w_h, b_h, mask, hidden, time_major=False, reverse=False):
     """Masked LSTM recurrence over hoisted input projections; leading axes
-    may carry a direction axis exactly as in :func:`_gru_scan`."""
-    batch_shape = x_proj.shape[:-2]
+    may carry a direction axis exactly as in :func:`_gru_scan`, and
+    ``time_major``/``reverse`` behave the same."""
+    batch_shape = x_proj.shape[1:-1] if time_major else x_proj.shape[:-2]
 
     def matmul(h, w):
         if w.ndim == 2:
@@ -318,8 +373,11 @@ def _lstm_scan(x_proj, w_h, b_h, mask, hidden):
         return (h_new, c_new), h_new
 
     h0 = jnp.zeros(batch_shape + (hidden,), x_proj.dtype)
-    (_, _), ys = jax.lax.scan(
-        step, (h0, h0), (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0)),
-        unroll=8,
-    )
+    if time_major:
+        xs = (x_proj, mask)
+    else:
+        xs = (jnp.moveaxis(x_proj, -2, 0), jnp.moveaxis(mask, -1, 0))
+    (_, _), ys = jax.lax.scan(step, (h0, h0), xs, unroll=8, reverse=reverse)
+    if time_major:
+        return ys
     return jnp.moveaxis(ys, 0, -2)
