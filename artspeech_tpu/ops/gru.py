@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from artspeech_tpu.ops import pallas_gru
+
 
 def torch_rnn_init(hidden_size: int):
     """torch nn.GRU/nn.LSTM initialization: every parameter ~ U(-k, k) with
@@ -82,6 +84,16 @@ class GRULayer(nn.Module):
             # directly and the reverse direction traverses via
             # scan(reverse=True) instead of flipping data. Numerics are
             # identical to the batch-major path; only copies disappear.
+            t, b = x_proj.shape[0], x_proj.shape[1]
+            if pallas_gru.supported(t, b, hidden):
+                # Fused Pallas time-loop: the whole recurrence runs in one
+                # Mosaic program with w_h resident in VMEM (measured 5x
+                # fwd+bwd over the scan at B=256 T=128 H=128 f32 —
+                # benchmarks/BENCH_DETAILS.md).
+                return pallas_gru.gru_sequence(
+                    x_proj, w_h_c, b_h_c, mask.astype(x_proj.dtype),
+                    reverse=self.reverse,
+                )
             return _gru_scan(
                 x_proj, w_h_c, b_h_c, mask, hidden,
                 time_major=True, reverse=self.reverse,
