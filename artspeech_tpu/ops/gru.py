@@ -338,6 +338,13 @@ class LSTMLayer(nn.Module):
         b_h_c = b_h.astype(dtype)
 
         if self.time_major:
+            t, b = x_proj.shape[0], x_proj.shape[1]
+            if pallas_gru.supported(t, b, hidden, gates=4):
+                # Fused Pallas time-loop (see GRULayer / ops/pallas_gru.py).
+                return pallas_gru.lstm_sequence(
+                    x_proj, w_h_c, b_h_c, mask.astype(x_proj.dtype),
+                    reverse=self.reverse,
+                )
             return _lstm_scan(
                 x_proj, w_h_c, b_h_c, mask, hidden,
                 time_major=True, reverse=self.reverse,

@@ -298,3 +298,272 @@ def gru_sequence(x_proj, w_h, b_h, mask, reverse=False):
         (T, B, H) hidden states, matching ops/gru.py:_gru_scan exactly.
     """
     return _GRU_SEQUENCE[bool(reverse)](x_proj, w_h, b_h, mask)
+
+
+# ---------------------------------------------------------------------------
+# LSTM: same fused time-loop structure, two carries (h, c), torch gate order
+# (i, f, g, o). The backward kernel makes two passes over each chunk: a
+# traversal-order pass that rebuilds the per-step entry cell states and gate
+# pre-activations into VMEM scratch (one matmul per step), then a
+# reverse-order pass that backprops without any recompute matmuls.
+# ---------------------------------------------------------------------------
+
+
+def _lstm_split(v, hidden):
+    return (
+        v[:, :hidden],
+        v[:, hidden : 2 * hidden],
+        v[:, 2 * hidden : 3 * hidden],
+        v[:, 3 * hidden :],
+    )
+
+
+def _lstm_fwd_kernel(xp_ref, m_ref, wh_ref, bh_ref, ys_ref, hb_ref, cb_ref,
+                     h_scr, c_scr, *, hidden, reverse):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    hb_ref[0] = h_scr[:]
+    cb_ref[0] = c_scr[:]
+    wh = wh_ref[:]
+    bh = bh_ref[:]
+
+    for p in range(CHUNK):
+        q = CHUNK - 1 - p if reverse else p
+        h = h_scr[:]
+        gates = (
+            jnp.dot(h, wh, preferred_element_type=jnp.float32)
+            + bh
+            + xp_ref[q].astype(jnp.float32)
+        )
+        gi, gf, gg, go = _lstm_split(gates, hidden)
+        i = jax.nn.sigmoid(gi)
+        f = jax.nn.sigmoid(gf)
+        g = jnp.tanh(gg)
+        o = jax.nn.sigmoid(go)
+        cf = c_scr[:].astype(jnp.float32)
+        c_new = f * cf + i * g
+        h_cand = o * jnp.tanh(c_new)
+        m = m_ref[q].astype(jnp.float32)  # (B, 1)
+        h_new = (m * h_cand + (1.0 - m) * h.astype(jnp.float32)).astype(h.dtype)
+        c_next = (m * c_new + (1.0 - m) * cf).astype(h.dtype)
+        ys_ref[q] = h_new
+        h_scr[:] = h_new
+        c_scr[:] = c_next
+
+
+def _lstm_bwd_kernel(xp_ref, m_ref, wh_ref, bh_ref, ys_ref, hb_ref, cb_ref,
+                     g_ref, dxp_ref, dwh_ref, dbh_ref,
+                     dh_scr, dc_scr, ga_scr, cp_scr, *, hidden, reverse):
+    """ga_scr (CHUNK, B, 4H) f32 gate pre-activations; cp_scr (CHUNK, B, H)
+    f32 per-step ENTRY cell states — both rebuilt in traversal order, then
+    consumed by the reverse-order backprop pass."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+    wh = wh_ref[:]
+    bh = bh_ref[:]
+    cdt = xp_ref.dtype
+
+    # Pass 1 (traversal order): rebuild entry cell states + pre-activations.
+    c = cb_ref[0].astype(jnp.float32)
+    for p in range(CHUNK):
+        q = CHUNK - 1 - p if reverse else p
+        if p == 0:
+            h_prev = hb_ref[0]
+        else:
+            q_prev = CHUNK - p if reverse else p - 1
+            h_prev = ys_ref[q_prev]
+        gates = (
+            jnp.dot(h_prev, wh, preferred_element_type=jnp.float32)
+            + bh
+            + xp_ref[q].astype(jnp.float32)
+        )
+        ga_scr[p] = gates
+        cp_scr[p] = c
+        gi, gf, gg, go = _lstm_split(gates, hidden)
+        i = jax.nn.sigmoid(gi)
+        f = jax.nn.sigmoid(gf)
+        g = jnp.tanh(gg)
+        c_new = f * c + i * g
+        m = m_ref[q].astype(jnp.float32)
+        c = m * c_new + (1.0 - m) * c
+
+    # Pass 2 (reverse traversal order): backprop, no recompute matmuls.
+    for p in reversed(range(CHUNK)):
+        q = CHUNK - 1 - p if reverse else p
+        if p == 0:
+            h_prev = hb_ref[0]
+        else:
+            q_prev = CHUNK - p if reverse else p - 1
+            h_prev = ys_ref[q_prev]
+        gi, gf, gg, go = _lstm_split(ga_scr[p], hidden)
+        i = jax.nn.sigmoid(gi)
+        f = jax.nn.sigmoid(gf)
+        g = jnp.tanh(gg)
+        o = jax.nn.sigmoid(go)
+        c_prev = cp_scr[p]
+        c_new = f * c_prev + i * g
+        th = jnp.tanh(c_new)
+
+        m = m_ref[q].astype(jnp.float32)
+        dh_tot = g_ref[q].astype(jnp.float32) + dh_scr[:]
+        dh_cand = m * dh_tot
+        dh_prev = (1.0 - m) * dh_tot
+        dc_cand = m * dc_scr[:]
+        dc_prev = (1.0 - m) * dc_scr[:]
+
+        do = dh_cand * th
+        dc_cand = dc_cand + dh_cand * o * (1.0 - th * th)
+        df = dc_cand * c_prev
+        di = dc_cand * g
+        dg = dc_cand * i
+        dc_scr[:] = dc_prev + dc_cand * f
+
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )  # (B, 4H) f32
+        dg_c = dgates.astype(cdt)
+        dh_scr[:] = dh_prev + jax.lax.dot_general(
+            dg_c, wh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwh_ref[:] += jax.lax.dot_general(
+            h_prev, dg_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbh_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
+        dxp_ref[q] = dg_c
+
+
+def _lstm_forward(x_proj, w_h, b_h, mask, reverse):
+    t, b, g = x_proj.shape
+    hidden = w_h.shape[0]
+    chunks = t // CHUNK
+    kernel = functools.partial(_lstm_fwd_kernel, hidden=hidden, reverse=reverse)
+
+    def chunk_ix(k):
+        return ((chunks - 1 - k) if reverse else k, 0, 0)
+
+    bound_spec = pl.BlockSpec((1, b, hidden), lambda k: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ys, h_bound, c_bound = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, b, g), chunk_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, b, 1), chunk_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, b, hidden), chunk_ix, memory_space=pltpu.VMEM),
+            bound_spec,
+            bound_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), x_proj.dtype),
+            jax.ShapeDtypeStruct((chunks, b, hidden), x_proj.dtype),
+            jax.ShapeDtypeStruct((chunks, b, hidden), x_proj.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), x_proj.dtype),
+            pltpu.VMEM((b, hidden), x_proj.dtype),
+        ],
+        interpret=_interpret(),
+    )(x_proj, mask[:, :, None], w_h, b_h.reshape(1, g))
+    return ys, h_bound, c_bound
+
+
+def _lstm_bwd_rule(reverse, residuals, g):
+    x_proj, w_h, b_h, mask, ys, h_bound, c_bound = residuals
+    t, b, gdim = x_proj.shape
+    hidden = w_h.shape[0]
+    chunks = t // CHUNK
+    kernel = functools.partial(_lstm_bwd_kernel, hidden=hidden, reverse=reverse)
+
+    def chunk_ix(j):
+        return (j if reverse else chunks - 1 - j, 0, 0)
+
+    def bound_ix(j):
+        return (chunks - 1 - j, 0, 0)
+
+    bound_spec = pl.BlockSpec((1, b, hidden), bound_ix, memory_space=pltpu.VMEM)
+    dxp, dwh, dbh = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, b, gdim), chunk_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, b, 1), chunk_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, b, hidden), chunk_ix, memory_space=pltpu.VMEM),
+            bound_spec,
+            bound_spec,
+            pl.BlockSpec((CHUNK, b, hidden), chunk_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, b, gdim), chunk_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gdim), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gdim), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, gdim), x_proj.dtype),
+            jax.ShapeDtypeStruct((hidden, gdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, gdim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((CHUNK, b, gdim), jnp.float32),
+            pltpu.VMEM((CHUNK, b, hidden), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x_proj, mask[:, :, None], w_h, b_h.reshape(1, gdim), ys, h_bound,
+      c_bound, g)
+    return (
+        dxp,
+        dwh.astype(w_h.dtype),
+        dbh.reshape(gdim).astype(b_h.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+def _make_lstm_sequence(reverse):
+    @jax.custom_vjp
+    def fn(x_proj, w_h, b_h, mask):
+        ys, _, _ = _lstm_forward(x_proj, w_h, b_h, mask, reverse)
+        return ys
+
+    def fwd(x_proj, w_h, b_h, mask):
+        ys, h_bound, c_bound = _lstm_forward(x_proj, w_h, b_h, mask, reverse)
+        return ys, (x_proj, w_h, b_h, mask, ys, h_bound, c_bound)
+
+    fn.defvjp(fwd, functools.partial(_lstm_bwd_rule, reverse))
+    return fn
+
+
+_LSTM_SEQUENCE = {False: _make_lstm_sequence(False), True: _make_lstm_sequence(True)}
+
+
+def lstm_sequence(x_proj, w_h, b_h, mask, reverse=False):
+    """Masked LSTM recurrence over hoisted input projections, time-major:
+    (T, B, 4H) -> (T, B, H), matching ops/gru.py:_lstm_scan (torch gate
+    order i, f, g, o; masked h/c carry freeze)."""
+    return _LSTM_SEQUENCE[bool(reverse)](x_proj, w_h, b_h, mask)

@@ -117,3 +117,69 @@ def test_bf16_matches_f32_loosely():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref), atol=0.05
     )
+
+
+# --- LSTM ---
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_forward_matches_scan_exactly(reverse):
+    from artspeech_tpu.ops.gru import _lstm_scan
+    from artspeech_tpu.ops.pallas_gru import lstm_sequence
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(5), 4)
+    xp = (jax.random.normal(k1, (T, B, 4 * H)) * 0.5).astype(jnp.float32)
+    wh = (jax.random.normal(k2, (H, 4 * H)) * 0.1).astype(jnp.float32)
+    bh = (jax.random.normal(k3, (4 * H,)) * 0.1).astype(jnp.float32)
+    lengths = jax.random.randint(k4, (B,), 3, T + 1)
+    mask = jnp.arange(T)[:, None] < lengths[None, :]
+
+    ref = _lstm_scan(xp, wh, bh, mask, H, time_major=True, reverse=reverse)
+    got = lstm_sequence(xp, wh, bh, mask.astype(xp.dtype), reverse=reverse)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_gradients_match_scan(reverse):
+    from artspeech_tpu.ops.gru import _lstm_scan
+    from artspeech_tpu.ops.pallas_gru import lstm_sequence
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(6), 4)
+    xp = (jax.random.normal(k1, (T, B, 4 * H)) * 0.5).astype(jnp.float32)
+    wh = (jax.random.normal(k2, (H, 4 * H)) * 0.1).astype(jnp.float32)
+    bh = (jax.random.normal(k3, (4 * H,)) * 0.1).astype(jnp.float32)
+    lengths = jax.random.randint(k4, (B,), 3, T + 1)
+    mask = jnp.arange(T)[:, None] < lengths[None, :]
+    mask_f = mask.astype(xp.dtype)
+
+    def loss_ref(xp, wh, bh):
+        ys = _lstm_scan(xp, wh, bh, mask, H, time_major=True, reverse=reverse)
+        return jnp.sum(jnp.sin(ys) * mask[:, :, None])
+
+    def loss_got(xp, wh, bh):
+        ys = lstm_sequence(xp, wh, bh, mask_f, reverse=reverse)
+        return jnp.sum(jnp.sin(ys) * mask[:, :, None])
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(xp, wh, bh)
+    gg = jax.grad(loss_got, argnums=(0, 1, 2))(xp, wh, bh)
+    for a, b in zip(gr, gg):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-4 * max(np.abs(a).max(), 1.0)
+
+
+def test_bilstm_model_path_matches_scan(monkeypatch):
+    from artspeech_tpu.ops.gru import BiLSTM
+
+    k = jax.random.PRNGKey(7)
+    x = jax.random.normal(k, (B, T, 48))
+    lengths = jax.random.randint(jax.random.PRNGKey(8), (B,), 2, T + 1)
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+
+    model = BiLSTM(hidden_size=H, num_layers=2, fuse_directions=False)
+    params = model.init(jax.random.PRNGKey(9), x, mask)
+
+    monkeypatch.setattr(pallas_gru, "_spmd_safe", lambda: False)
+    ref = model.apply(params, x, mask)
+    monkeypatch.setattr(pallas_gru, "_spmd_safe", lambda: True)
+    got = model.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-6)
