@@ -26,6 +26,7 @@ def make_artspeech_train_step(
     recognizer_fn=None,
     recognition_weight: float = 1.0,
     with_p2cp: bool = False,
+    mesh=None,
 ):
     """Build the jitted training step for ArtSpeech-family models.
 
@@ -44,7 +45,20 @@ def make_artspeech_train_step(
     pipeline over every (B, T, Nart) contour costs a measured 3.8ms f32 /
     3.6ms bf16 of the B=256 step (~17/23%). Model selection is unaffected —
     ``fit`` monitors the valid-epoch metric.
+
+    ``mesh`` (a Mesh with a ``data`` axis) builds the shard_map variant
+    instead: the batch axis is explicitly manual-sharded, gradients ride one
+    psum over ICI, and — unlike the auto-GSPMD path ``fit`` uses by default —
+    the fused Pallas recurrence kernels (ops/pallas_gru.py) still dispatch,
+    because pallas_call is partitionable only under manual mesh axes. Same
+    normalization as single-device (global masked means via globally summed
+    denominators); dropout masks are drawn per shard (fold_in of the data
+    axis index), so trajectories match exactly only at dropout=0.
     """
+    if mesh is not None:
+        return _make_artspeech_train_step_shard_map(
+            to_mm, mesh, donate, recognizer_fn, recognition_weight, with_p2cp
+        )
 
     def train_step(state, batch, dropout_rng):
         def loss_fn(params):
@@ -82,6 +96,100 @@ def make_artspeech_train_step(
                 outputs, batch["targets"], batch["lengths"], to_mm=to_mm
             )
         return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _make_artspeech_train_step_shard_map(
+    to_mm, mesh, donate, recognizer_fn, recognition_weight, with_p2cp
+):
+    """shard_map (manual SPMD) variant of the ArtSpeech train step.
+
+    Exactness: the local loss is normalized by the GLOBAL denominators
+    (valid-cell counts depend only on lengths, so they are psum'd before the
+    grad), making ``psum(local_loss)`` and ``psum(local_grads)`` bit-equal in
+    expectation to the single-program global masked means. The optimizer
+    update runs identically on every shard over replicated params/opt state.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from artspeech_tpu.ops.distances import euclidean_distance
+    from artspeech_tpu.utils.masks import make_padding_mask
+
+    axis = "data"
+
+    def step(state, batch, dropout_rng):
+        targets, lengths = batch["targets"], batch["lengths"]
+        t = targets.shape[1]
+        mask = make_padding_mask(lengths, t)
+        n_frames = jax.lax.psum(jnp.sum(mask), axis)
+        n_euclid = (
+            jnp.maximum(n_frames, 1.0) * targets.shape[2] * targets.shape[4]
+        )
+        shard_rng = jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            outputs = state.apply_fn(
+                {"params": params},
+                batch["tokens"],
+                lengths,
+                deterministic=False,
+                rngs={"dropout": as_rbg_key(shard_rng)},
+            )
+            dist = euclidean_distance(outputs, targets)  # (b, T, Nart, D)
+            w = mask[:, :, None, None].astype(dist.dtype)
+            loss_local = jnp.sum(dist * w) / n_euclid
+            if recognizer_fn is not None:
+                b, tt, n_art, _, d = outputs.shape
+
+                def to_rec(x):
+                    return x.transpose(0, 3, 2, 4, 1).reshape(b, 2, n_art * d, tt)
+
+                voicing = batch.get("voicing")
+                out_feats = recognizer_fn(to_rec(outputs), voicing)
+                tgt_feats = jax.lax.stop_gradient(
+                    recognizer_fn(to_rec(targets), voicing)
+                )
+                n_rec = jnp.maximum(n_frames, 1.0) * out_feats.shape[-1]
+                sq = (out_feats - tgt_feats) ** 2
+                loss_local = loss_local + recognition_weight * (
+                    jnp.sum(sq * mask[:, :, None].astype(sq.dtype)) / n_rec
+                )
+            return loss_local, outputs
+
+        (loss_local, outputs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        loss = jax.lax.psum(loss_local, axis)
+        grads = jax.lax.psum(grads, axis)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss}
+        if with_p2cp:
+            # Per-sentence means then batch mean; equal shard sizes make the
+            # global batch mean the mean of shard means.
+            local = p2cp_distance_mm(outputs, targets, lengths, to_mm=to_mm)
+            metrics["p2cp_mm"] = jax.lax.pmean(local, axis)
+        return state, metrics
+
+    batch_spec = {
+        "tokens": P(axis),
+        "targets": P(axis),
+        "lengths": P(axis),
+        "voicing": P(axis),
+    }
+
+    def in_batch_spec(batch):
+        return {k: batch_spec.get(k, P(axis)) for k in batch}
+
+    def train_step(state, batch, dropout_rng):
+        mapped = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), in_batch_spec(batch), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return mapped(state, batch, dropout_rng)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

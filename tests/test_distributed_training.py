@@ -214,3 +214,50 @@ def test_epoch_metrics_weighted_by_sentence_count():
     ]
     means = run_eval_epoch(None, loader, eval_step)
     np.testing.assert_allclose(means["loss"], (4 * 2.0 + 1 * 7.0) / 5.0)
+
+
+def test_shard_map_step_matches_single_device():
+    """The manual-SPMD (shard_map) train step — the dp path that keeps the
+    Pallas recurrence kernels dispatchable — reproduces the single-device
+    step: same losses/metrics and same parameters after two updates."""
+    import jax.numpy as jnp
+
+    from artspeech_tpu.models.artspeech_rnn import ArtSpeech
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import batch_sharding, data_parallel_mesh
+    from artspeech_tpu.train.state import create_train_state
+    from artspeech_tpu.train.step import make_artspeech_train_step
+
+    rng = np.random.default_rng(0)
+    B, NART, T = 64, 4, 16
+    model = ArtSpeech(vocab_size=32, n_articulators=NART, dropout=0.0)
+    tokens = jnp.asarray(rng.integers(0, 32, (B, T)), jnp.int32)
+    lengths = jnp.asarray(rng.integers(2, T + 1, (B,)), jnp.int32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-4)
+    batch = {
+        "tokens": tokens,
+        "targets": jnp.asarray(rng.uniform(size=(B, T, NART, 2, 50)).astype(np.float32)),
+        "lengths": lengths,
+    }
+
+    step1 = make_artspeech_train_step(to_mm=220.0, donate=False, with_p2cp=True)
+    st1, m1 = step1(state, batch, jax.random.PRNGKey(0))
+    st1, m1 = step1(st1, batch, jax.random.PRNGKey(1))
+
+    mesh = data_parallel_mesh(B)
+    stepd = make_artspeech_train_step(
+        to_mm=220.0, donate=False, with_p2cp=True, mesh=mesh
+    )
+    state_d = distribute_state(state, mesh)
+    batch_d = jax.device_put(batch, batch_sharding(mesh))
+    st2, m2 = stepd(state_d, batch_d, jax.random.PRNGKey(0))
+    st2, m2 = stepd(st2, batch_d, jax.random.PRNGKey(1))
+
+    for k in m1:
+        assert abs(float(m1[k]) - float(m2[k])) < 1e-4 * max(1.0, abs(float(m1[k])))
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        st1.params,
+        jax.device_get(st2.params),
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-5

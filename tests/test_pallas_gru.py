@@ -183,3 +183,23 @@ def test_bilstm_model_path_matches_scan(monkeypatch):
     monkeypatch.setattr(pallas_gru, "_spmd_safe", lambda: True)
     got = model.apply(params, x, mask)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-6)
+
+
+def test_spmd_safe_inside_shard_map():
+    """Inside a shard_map (manual axes) trace the kernel may dispatch even
+    with multiple devices; outside, multi-device traces must stay on scan."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.make_mesh((len(jax.devices()),), ("data",))
+    seen = {}
+
+    def f(x):
+        seen["inside"] = pallas_gru._spmd_safe()
+        return x * 2
+
+    x = jnp.zeros((len(jax.devices()), 4))
+    jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data")))(x)
+    assert seen["inside"] is True
+    assert pallas_gru._spmd_safe() is False
