@@ -243,6 +243,64 @@ def main():
         tag = f"bigru_train_step_b{b}" + ("_bf16" if dt else "")
         add(tag, ms, f"B={b} T=128, {fps:,.0f} frames/s", fl, device_ms=dev)
 
+    # --- Isolated GRU/LSTM recurrences: lax.scan vs fused Pallas kernel ---
+    # The fwd+bwd pair of one bidirectional layer's recurrences (input
+    # projections hoisted, as in the models). Records the measured basis for
+    # the ops/pallas_gru.py dispatch at the production b256 shape.
+    from functools import partial as _partial
+
+    from artspeech_tpu.ops.gru import _gru_scan, _lstm_scan
+    from artspeech_tpu.ops.pallas_gru import gru_sequence, lstm_sequence
+
+    T_R, B_R, H_R = 128, 256, 128
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    rec_mask = jnp.arange(T_R)[:, None] < jnp.asarray(
+        rng.integers(8, T_R + 1, (B_R,))
+    )[None, :]
+    for gates, scan_fn, pallas_fn, nm in (
+        (3, _gru_scan, gru_sequence, "gru"),
+        (4, _lstm_scan, lstm_sequence, "lstm"),
+    ):
+        xp_r = jnp.asarray(
+            rng.normal(size=(T_R, B_R, gates * H_R)).astype(np.float32) * 0.5
+        )
+        wh_r = jnp.asarray(rng.normal(size=(H_R, gates * H_R)).astype(np.float32) * 0.1)
+        bh_r = jnp.asarray(rng.normal(size=(gates * H_R,)).astype(np.float32) * 0.1)
+        # fwd hidden matmul per step/direction + ~3x for the backward's
+        # gate-recompute, dgate->dh and weight-gradient contractions.
+        fl_r = 2 * (1 + 3) * 2 * B_R * H_R * gates * H_R * T_R
+
+        def scan_loss(x, w, b):
+            y1 = scan_fn(x, w, b, rec_mask, H_R, time_major=True, reverse=False)
+            y2 = scan_fn(x, w, b, rec_mask, H_R, time_major=True, reverse=True)
+            return jnp.sum((y1 + y2) * rec_mask[:, :, None])
+
+        def pallas_loss(x, w, b):
+            mf = rec_mask.astype(x.dtype)
+            y1 = pallas_fn(x, w, b, mf, reverse=False)
+            y2 = pallas_fn(x, w, b, mf, reverse=True)
+            return jnp.sum((y1 + y2) * rec_mask[:, :, None])
+
+        for impl, lfn in (("scan", scan_loss), ("pallas", pallas_loss)):
+            grad_fn = jax.grad(lfn, argnums=(0, 1, 2))
+
+            def rec_chain(carry, grad_fn=grad_fn, xp_r=xp_r):
+                gx, gw, gb = grad_fn(dep(xp_r, carry[1]), wh_r, bh_r)
+                return (carry[0], jnp.sum(gx) + jnp.sum(gw) + jnp.sum(gb))
+
+            ms, dev = measure(
+                rec_chain,
+                (jnp.zeros(()), jnp.zeros(())),
+                lambda c: float(c[1]),
+            )
+            add(
+                f"{nm}_recurrence_{impl}_b{B_R}",
+                ms,
+                f"fwd+bwd both directions, T={T_R} H={H_R}",
+                fl_r,
+                device_ms=dev,
+            )
+
     # --- DeepSpeech2 recognizer train step (melspec, CTC) ---
     from artspeech_tpu.models.deepspeech2 import DeepSpeech2
     from artspeech_tpu.train.recognition_step import make_recognition_train_step
