@@ -139,6 +139,35 @@ def build_transformer(dtype):
     return chain, (state, jnp.zeros(())), lambda c: float(c[1])
 
 
+def build_transformer_decode(dtype):
+    """The KV-cached autoregressive decode at the T=128 bucket (B=4): the
+    slowest per-sample inference surface — per-step cost is dominated by the
+    while-body's per-op fixed cost, not FLOPs (see NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from artspeech_tpu.models.transformer import (
+        ArtSpeechTransformer,
+        make_fast_generate,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, c = 4, 128, 10
+    src = jnp.asarray(rng.integers(0, 64, (b, t)), jnp.int32)
+    tgt0 = jnp.asarray(rng.uniform(size=(b, t, c, 100)).astype(np.float32))
+    lengths = jnp.full((b,), t, jnp.int32)
+    tr = ArtSpeechTransformer(vocab_size=64, num_articulators=c, dtype=dtype)
+    params = tr.init(jax.random.PRNGKey(0), src, tgt0, lengths, lengths)["params"]
+    gen = jax.jit(make_fast_generate(tr, max_len=t))
+
+    def chain(carry):
+        src_dep, _ = carry
+        out = gen(params, src_dep, lengths)
+        return src_dep + 0 * jnp.sum(out).astype(src_dep.dtype), jnp.sum(out)
+
+    return chain, (src, jnp.zeros(())), lambda c: float(c[1])
+
+
 def build_synthesis(grid):
     import jax
     import jax.numpy as jnp
@@ -196,6 +225,7 @@ WORKLOADS = {
     "bigru_b12": lambda dt: build_bigru(12, dt),
     "recognizer_b8": lambda dt: build_recognizer(dt),
     "transformer_b12": lambda dt: build_transformer(dt),
+    "transformer_decode": lambda dt: build_transformer_decode(dt),
     "synthesis": lambda dt: build_synthesis(False),
     "synthesis_grid": lambda dt: build_synthesis(True),
 }
@@ -330,6 +360,17 @@ def main():
     print("\ntop 15 individual ops (per-step ms, count/step):")
     for op, (us, cnt) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:15]:
         print(f"  {op:44s} {us / 1e3 / n_exec:8.3f}  x{cnt / n_exec:.1f}")
+
+    # --cat=<category>: top ops of one category (e.g. --cat=copy to chase
+    # layout copies, as in the round-3 recognizer fix).
+    cat_arg = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                    if a.startswith("--cat=")), None)
+    if cat_arg:
+        print(f"\ntop ops in category '{cat_arg}':")
+        rows = [(op, v) for op, v in by_op.items()
+                if categorize(op) == cat_arg]
+        for op, (us, cnt) in sorted(rows, key=lambda kv: -kv[1][0])[:15]:
+            print(f"  {op:44s} {us / 1e3 / n_exec:8.3f}  x{cnt / n_exec:.1f}")
 
 
 if __name__ == "__main__":
