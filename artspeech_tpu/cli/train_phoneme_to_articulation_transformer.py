@@ -111,7 +111,12 @@ def main(cfg, args, tracker):
     # Per-bucket dispatch between the KV-cached scan and the buffer
     # re-decode by the measured crossover band (benchmarks/BENCH_DETAILS.md
     # "Generate crossover"): never slower at any bucket length.
-    apply_fn = make_auto_generate(model)
+    # generate_cache_dtype: "bfloat16" opts into half-storage KV caches
+    # (~1.7x faster decode at thesis sentence lengths, ~5e-2 contour
+    # delta from rounding feedback — see make_fast_generate).
+    apply_fn = make_auto_generate(
+        model, cache_dtype=cfg.get("generate_cache_dtype")
+    )
 
     info = run_test(
         best_state.params,

@@ -387,7 +387,8 @@ def _ln_norm(x, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps)
 
 
-def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
+def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
+                       cache_dtype=None):
     """KV-cached autoregressive generation as a pure-JAX scan over the
     extracted parameter tree.
 
@@ -403,14 +404,31 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
     ``jnp.zeros``, and performs each step as a handful of channel-batched
     einsums against ``params``.
 
-    Measured crossover vs the buffer re-decode (v5e, B=4, C=10, device
-    profiler spans — the round-3 table in benchmarks/BENCH_DETAILS.md):
-    the cached scan wins at T<=56 (1.2-1.5x) and T>=128 (2.2-3.8x) but
-    LOSES in a T=64..112 band (0.58-0.81x), where the buffer path's
-    full-redecode cost is anomalously flat (its per-redecode cost stays
-    ~0.8ms until a >5x cliff between T=96 and 128, a compiler tiling
-    regime — measured, not modeled). Use :func:`make_auto_generate` for
-    the never-slower per-bucket dispatch; the CLIs default to it.
+    The KV caches are stored (S, hd, G) with every batch/head dim merged
+    into the lane axis G, so each step's update is one contiguous span of
+    full (8, 128) tiles — the only layout this XLA build updates in place
+    inside a scan — and attention reads them with broadcast-multiply +
+    axis reductions instead of dots (a dot re-tiles, re-materializing the
+    whole cache every step). That layout change took the T=128 decode
+    from 244ms to 158ms (chained wall, v5e, B=4, C=10).
+
+    Measured crossover vs the buffer re-decode (v5e, B=4, C=10, chained
+    wall — the round-3 table in benchmarks/BENCH_DETAILS.md): the cached
+    scan wins at T<=48 (1.6-2.5x) and T>=128 (3.0-4.6x) but LOSES in a
+    T=64..112 band (0.71-0.87x), where the buffer path's full-redecode
+    cost is anomalously flat (its per-redecode cost stays ~0.7ms until a
+    >6x cliff between T=112 and 128, a compiler tiling regime — measured,
+    not modeled). Use :func:`make_auto_generate` for the never-slower
+    per-bucket dispatch; the CLIs default to it.
+
+    ``cache_dtype="bfloat16"`` halves cache storage and HBM traffic —
+    above ~94MB of caches (T>=~120 at these shapes) the f32 caches spill
+    out of VMEM and every step streams them from HBM. Measured: T=128
+    decode 158 -> 95ms (2.58x over the pre-layout baseline). Score and
+    softmax math stays f32 either way, but storing K/V rounded to bf16
+    compounds autoregressively: max output delta 4.6e-2 vs the module
+    path over a 128-frame sentence, so it is OPT-IN (offline synthesis
+    quality work should keep the f32 default).
 
     Numerics match the module path (same flax Dense/LayerNorm/MHA math,
     reduction order differs): per-step parity ~1e-5, autoregressive
@@ -424,6 +442,7 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
         fast_generate(params, src, src_lengths) -> (B, S, C, 2, D); jit it.
     """
     del max_len
+    cache_dtype = jnp.dtype(cache_dtype) if cache_dtype is not None else jnp.float32
     c = model.num_articulators
     f = model.num_feat
     e = model.embed_dim
@@ -485,6 +504,26 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
                 + mha_p["out"]["bias"][None]
             )
 
+        # KV caches are stored (S, hd, G) with G = all batch/head dims
+        # merged into the lane axis: row t is then a contiguous span of
+        # full (8, 128) tiles, which is the ONLY shape this XLA build
+        # updates in place inside a scan (any trailing-(H, hd) layout
+        # degrades to a full-cache rewrite per step: measured 250-500us
+        # vs 3.5us for one 11.8MB cache).  Attention is computed as
+        # broadcast-multiply + axis reductions rather than dots: a dot
+        # needs its operand re-tiled, which re-materializes the whole
+        # cache every step (+73us measured; benchmarks/NOTES.md).
+        def to_row(x):
+            # (..., H, hd) -> (1, hd, G): one cache row
+            return x.reshape(x.size // hd, hd).T[None].astype(cache_dtype)
+
+        def attend(cache_k, cache_v, qg, t_bias):
+            # cache (S, hd, G), qg (hd, G), t_bias (S,) -> (G, hd)
+            # score/softmax math stays f32; bf16 caches only shrink storage
+            logits = jnp.sum(cache_k.astype(dtype) * qg[None], axis=1) + t_bias[:, None]
+            attn = jax.nn.softmax(logits, axis=0)  # over time
+            return jnp.sum(cache_v.astype(dtype) * attn[:, None, :], axis=0).T
+
         def step(carry, t):
             caches, prev = carry  # prev: (B, C, F)
             h = ln(prev, {"scale": params["tgt_embed_ln"]["scale"], "bias": params["tgt_embed_ln"]["bias"]})
@@ -507,11 +546,10 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
                 q = jnp.einsum("bcf,cfhd->bchd", q_mlp, mha["query"]["kernel"]) + mha["query"]["bias"][None]
                 k_new = jnp.einsum("bcf,cfhd->bchd", k_mlp, mha["key"]["kernel"]) + mha["key"]["bias"][None]
                 v_new = jnp.einsum("bcf,cfhd->bchd", v_mlp, mha["value"]["kernel"]) + mha["value"]["bias"][None]
-                k_self = jax.lax.dynamic_update_slice_in_dim(cache["k_self"], k_new[:, :, None], t, axis=2)
-                v_self = jax.lax.dynamic_update_slice_in_dim(cache["v_self"], v_new[:, :, None], t, axis=2)
-                logits = jnp.einsum("bchd,bcthd->bcht", q * scale, k_self) + t_bias
-                attn = jax.nn.softmax(logits, axis=-1)
-                av = jnp.einsum("bcht,bcthd->bchd", attn, v_self)
+                k_self = jax.lax.dynamic_update_slice_in_dim(cache["k_self"], to_row(k_new), t, axis=0)
+                v_self = jax.lax.dynamic_update_slice_in_dim(cache["v_self"], to_row(v_new), t, axis=0)
+                qg = (q * scale).reshape(b * c * n_heads, hd).T
+                av = attend(k_self, v_self, qg, t_bias).reshape(b, c, n_heads, hd)
                 proc = q_mlp + mha_out(av, mha)  # (B, C, E)
 
                 # ---- 2. cross-channel interactions ----
@@ -529,11 +567,10 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
                 q_i = jnp.einsum("bcjf,cjfhd->bcjhd", q_mlp_i, imha["query"]["kernel"]) + imha["query"]["bias"][None]
                 k_i = jnp.einsum("bcjf,cjfhd->bcjhd", k_mlp_i, imha["key"]["kernel"]) + imha["key"]["bias"][None]
                 v_i = jnp.einsum("bcjf,cjfhd->bcjhd", v_mlp_i, imha["value"]["kernel"]) + imha["value"]["bias"][None]
-                k_inter = jax.lax.dynamic_update_slice_in_dim(cache["k_inter"], k_i[:, :, :, None], t, axis=3)
-                v_inter = jax.lax.dynamic_update_slice_in_dim(cache["v_inter"], v_i[:, :, :, None], t, axis=3)
-                logits_i = jnp.einsum("bcjhd,bcjthd->bcjht", q_i * scale, k_inter) + t_bias
-                attn_i = jax.nn.softmax(logits_i, axis=-1)
-                av_i = jnp.einsum("bcjht,bcjthd->bcjhd", attn_i, v_inter)
+                k_inter = jax.lax.dynamic_update_slice_in_dim(cache["k_inter"], to_row(k_i), t, axis=0)
+                v_inter = jax.lax.dynamic_update_slice_in_dim(cache["v_inter"], to_row(v_i), t, axis=0)
+                qg_i = (q_i * scale).reshape(b * c * (c - 1) * n_heads, hd).T
+                av_i = attend(k_inter, v_inter, qg_i, t_bias).reshape(b, c, c - 1, n_heads, hd)
                 out_i = jnp.einsum("bcjhd,cjhde->bcje", av_i, imha["out"]["kernel"]) + imha["out"]["bias"][None]
                 outs = q_mlp_i + out_i  # (B, C, C-1, E)
                 concat = outs.reshape(b, c, (c - 1) * e)
@@ -576,10 +613,10 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
 
         caches0 = [
             {
-                "k_self": jnp.zeros((b, c, s, n_heads, hd), dtype),
-                "v_self": jnp.zeros((b, c, s, n_heads, hd), dtype),
-                "k_inter": jnp.zeros((b, c, c - 1, s, n_heads, hd), dtype),
-                "v_inter": jnp.zeros((b, c, c - 1, s, n_heads, hd), dtype),
+                "k_self": jnp.zeros((s, hd, b * c * n_heads), cache_dtype),
+                "v_self": jnp.zeros((s, hd, b * c * n_heads), cache_dtype),
+                "k_inter": jnp.zeros((s, hd, b * c * (c - 1) * n_heads), cache_dtype),
+                "v_inter": jnp.zeros((s, hd, b * c * (c - 1) * n_heads), cache_dtype),
             }
             for _ in range(n_layers)
         ]
@@ -595,12 +632,15 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0):
 # Measured win/loss band of the cached scan vs the buffer re-decode (v5e,
 # round-3 crossover table in benchmarks/BENCH_DETAILS.md): the buffer path
 # is faster only for source lengths in [64, 112] (its per-redecode cost is
-# flat until a compiler tiling cliff between T=96 and T=128).
+# flat until a compiler tiling cliff between T=112 and T=128). The band
+# survived the (S, hd, G) cache-layout rework unchanged — re-measured
+# 2026-08 at T in {16..256}: cached 1.6-2.5x below it, 3.0-4.6x above it,
+# 0.71-0.87x inside it.
 BUFFER_WINS_LO = 64
 BUFFER_WINS_HI = 112
 
 
-def make_auto_generate(model: ArtSpeechTransformer):
+def make_auto_generate(model: ArtSpeechTransformer, cache_dtype=None):
     """Never-slower generation: per-bucket dispatch between the KV-cached
     scan and the buffer re-decode by the measured crossover band.
 
@@ -608,12 +648,18 @@ def make_auto_generate(model: ArtSpeechTransformer):
     under ``jax.jit`` each bucket compiles exactly one of the two
     implementations — there is no runtime branch. Regression-guarded by the
     transformer_generate_* rows of benchmarks/run_all.py.
+
+    ``cache_dtype="bfloat16"`` is the opt-in fast-decode profile (see
+    :func:`make_fast_generate`): it disables the buffer band because the
+    bf16-cache scan beats the buffer there too — measured 1.15-1.41x at
+    T in [64, 112] and 5.5x at T=128 (v5e, B=4, C=10, chained wall), so
+    with cache rounding accepted the cached path is fastest everywhere.
     """
-    fast = make_fast_generate(model)
+    fast = make_fast_generate(model, cache_dtype=cache_dtype)
 
     def auto_generate(params, src, src_lengths=None):
         s = src.shape[1]
-        if BUFFER_WINS_LO <= s <= BUFFER_WINS_HI:
+        if cache_dtype is None and BUFFER_WINS_LO <= s <= BUFFER_WINS_HI:
             return model.apply(
                 {"params": params}, src, src_lengths,
                 method=ArtSpeechTransformer.generate,

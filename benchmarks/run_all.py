@@ -428,7 +428,7 @@ def main():
 
     B_GEN = 4
     gen_rows = {}
-    for t_gen in (16, 32, 64, 96, 128, 256):
+    for t_gen in (16, 32, 64, 96, 112, 128, 256):
         src_g = jnp.asarray(rng.integers(0, 64, (B_GEN, t_gen)), jnp.int32)
         len_g = jnp.full((B_GEN,), t_gen, jnp.int32)
         buf_gen = jax.jit(
@@ -436,6 +436,7 @@ def main():
                                      method=ArtSpeechTransformer.generate)
         )
         fast_gen = jax.jit(make_fast_generate(tr, t_gen))
+        fast16_gen = jax.jit(make_fast_generate(tr, t_gen, cache_dtype="bfloat16"))
         fl_buf = transformer_buffer_generate_flops_exact(B_GEN, t_gen, C_TR)
 
         def gen_chain_of(g):
@@ -456,7 +457,14 @@ def main():
         add(f"transformer_generate_cached_T{t_gen}", ms_fast,
             f"B={B_GEN}, {B_GEN * t_gen / (dev_fast or ms_fast) * 1e3:,.0f} frames/s",
             device_ms=dev_fast)
-        gen_rows[t_gen] = (dev_buf or ms_buf, dev_fast or ms_fast)
+        ms_f16, dev_f16 = measure(gen_chain_of(fast16_gen), (src_g, jnp.zeros(())),
+                                  lambda c: float(c[1]), n1=2, n2=12)
+        add(f"transformer_generate_cached_bf16_T{t_gen}", ms_f16,
+            f"B={B_GEN}, {B_GEN * t_gen / (dev_f16 or ms_f16) * 1e3:,.0f} frames/s, "
+            "opt-in bf16 KV caches",
+            device_ms=dev_f16)
+        gen_rows[t_gen] = (dev_buf or ms_buf, dev_fast or ms_fast,
+                           dev_f16 or ms_f16)
 
     # --- fused synthesis pipeline ---
     from artspeech_tpu.core import constants as C
@@ -572,17 +580,21 @@ def main():
                 "make_auto_generate dispatches per bucket by the measured "
                 f"band: buffer for T in [{BUFFER_WINS_LO}, {BUFFER_WINS_HI}], "
                 "cached elsewhere. 'auto ok' = the dispatch picks within 5% "
-                "of the faster path (regression row for the band).\n\n"
+                "of the faster f32 path (regression row for the band). The "
+                "bf16 column is the opt-in half-storage KV-cache profile "
+                "(generate_cache_dtype: bfloat16 — always cached; ~5e-2 "
+                "contour delta from rounding feedback).\n\n"
             )
-            f.write("| T | buffer ms | cached ms | cached speedup | auto picks | auto ok |\n")
-            f.write("|---|---|---|---|---|---|\n")
-            for t_gen, (mb, mf) in sorted(gen_rows.items()):
+            f.write("| T | buffer ms | cached ms | cached speedup "
+                    "| bf16-cache ms | auto picks | auto ok |\n")
+            f.write("|---|---|---|---|---|---|---|\n")
+            for t_gen, (mb, mf, m16) in sorted(gen_rows.items()):
                 pick = "buffer" if BUFFER_WINS_LO <= t_gen <= BUFFER_WINS_HI else "cached"
                 chosen = mb if pick == "buffer" else mf
                 ok = "yes" if chosen <= 1.05 * min(mb, mf) else "NO"
                 f.write(
                     f"| {t_gen} | {mb:.1f} | {mf:.1f} | {mb / mf:.2f}x "
-                    f"| {pick} | {ok} |\n"
+                    f"| {m16:.1f} | {pick} | {ok} |\n"
                 )
         # Persistent sections: NOTES.md (findings) and SCALING.md (written
         # by scaling.py) survive suite reruns by being inlined, not edited.
