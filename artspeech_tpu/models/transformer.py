@@ -388,7 +388,7 @@ def _ln_norm(x, eps=1e-6):
 
 
 def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
-                       cache_dtype=None):
+                       cache_dtype=None, n_chunks="auto"):
     """KV-cached autoregressive generation as a pure-JAX scan over the
     extracted parameter tree.
 
@@ -412,19 +412,28 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
     whole cache every step). That layout change took the T=128 decode
     from 244ms to 158ms (chained wall, v5e, B=4, C=10).
 
+    On top of that, the time loop runs as ``n_chunks`` consecutive scans
+    ("auto": 1 below T=112, 2 to T<256, 4 above — measured crossovers),
+    each step statically slicing only the live cache prefix, which cuts
+    the average cache-stream extent to (n+1)/(2n) of full-length reads:
+    T=128 158 -> 136ms f32, T=256 636 -> 426ms f32 / 346 -> 277ms bf16
+    (chained wall; no effect on numerics — rows past t are softmax zeros
+    either way).
+
     Measured crossover vs the buffer re-decode (v5e, B=4, C=10, chained
     wall — the round-3 table in benchmarks/BENCH_DETAILS.md): the cached
-    scan wins at T<=48 (1.6-2.5x) and T>=128 (3.0-4.6x) but LOSES in a
-    T=64..112 band (0.71-0.87x), where the buffer path's full-redecode
-    cost is anomalously flat (its per-redecode cost stays ~0.7ms until a
-    >6x cliff between T=112 and 128, a compiler tiling regime — measured,
-    not modeled). Use :func:`make_auto_generate` for the never-slower
-    per-bucket dispatch; the CLIs default to it.
+    scan wins at T<=48 (1.6-2.5x) and T>=128 (3.9-6.8x with chunking)
+    but LOSES in a T=64..112 band (0.73-0.86x even with the chunked
+    prefix), where the buffer path's full-redecode cost is anomalously
+    flat (its per-redecode cost stays ~0.7ms until a >6x cliff between
+    T=112 and 128, a compiler tiling regime — measured, not modeled).
+    Use :func:`make_auto_generate` for the never-slower per-bucket
+    dispatch; the CLIs default to it.
 
     ``cache_dtype="bfloat16"`` halves cache storage and HBM traffic —
     above ~94MB of caches (T>=~120 at these shapes) the f32 caches spill
     out of VMEM and every step streams them from HBM. Measured: T=128
-    decode 158 -> 95ms (2.58x over the pre-layout baseline). Score and
+    decode 158 -> 95ms (-> 82ms with the chunked prefix). Score and
     softmax math stays f32 either way, but storing K/V rounded to bf16
     compounds autoregressively: max output delta 4.6e-2 vs the module
     path over a 128-frame sentence, so it is OPT-IN (offline synthesis
@@ -438,6 +447,9 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
         model: the teacher-forced model definition (parameters are shared).
         max_len: kept for API compatibility; caches are sized to the
             source length of each call.
+        n_chunks: number of consecutive chunked-prefix scans the time
+            loop is split into ("auto" = measured per-length policy; an
+            int pins it, e.g. for benchmarking the single-scan path).
     Returns:
         fast_generate(params, src, src_lengths) -> (B, S, C, 2, D); jit it.
     """
@@ -517,21 +529,28 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
             # (..., H, hd) -> (1, hd, G): one cache row
             return x.reshape(x.size // hd, hd).T[None].astype(cache_dtype)
 
-        def attend(cache_k, cache_v, qg, t_bias):
-            # cache (S, hd, G), qg (hd, G), t_bias (S,) -> (G, hd)
+        def attend(cache_k, cache_v, qg, t_bias, p_end):
+            # cache (S, hd, G), qg (hd, G), t_bias (p_end,) -> (G, hd)
+            # Only the first p_end rows are read (rows > t are softmax
+            # zeros anyway): inside chunk ci of the chunked-prefix scans
+            # below, this statically bounds the HBM traffic of the
+            # dominant cache-streaming reductions to the live prefix.
             # score/softmax math stays f32; bf16 caches only shrink storage
-            logits = jnp.sum(cache_k.astype(dtype) * qg[None], axis=1) + t_bias[:, None]
+            k_p = jax.lax.slice_in_dim(cache_k, 0, p_end, axis=0)
+            v_p = jax.lax.slice_in_dim(cache_v, 0, p_end, axis=0)
+            logits = jnp.sum(k_p.astype(dtype) * qg[None], axis=1) + t_bias[:, None]
             attn = jax.nn.softmax(logits, axis=0)  # over time
-            return jnp.sum(cache_v.astype(dtype) * attn[:, None, :], axis=0).T
+            return jnp.sum(v_p.astype(dtype) * attn[:, None, :], axis=0).T
 
-        def step(carry, t):
+        def step_of(p_end):
+          def step(carry, t):
             caches, prev = carry  # prev: (B, C, F)
             h = ln(prev, {"scale": params["tgt_embed_ln"]["scale"], "bias": params["tgt_embed_ln"]["bias"]})
             h = nn.relu(jnp.einsum("bcf,fe->bce", h, params["tgt_embed_dense"]["kernel"]) + params["tgt_embed_dense"]["bias"])
             h = h + pos_table[t]
 
-            # causal additive bias over the cache time axis
-            t_bias = jnp.where(jnp.arange(s) <= t, 0.0, neg).astype(dtype)
+            # causal additive bias over the live cache prefix
+            t_bias = jnp.where(jnp.arange(p_end) <= t, 0.0, neg).astype(dtype)
 
             new_caches = []
             for i, lp in enumerate(layers):
@@ -549,7 +568,7 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
                 k_self = jax.lax.dynamic_update_slice_in_dim(cache["k_self"], to_row(k_new), t, axis=0)
                 v_self = jax.lax.dynamic_update_slice_in_dim(cache["v_self"], to_row(v_new), t, axis=0)
                 qg = (q * scale).reshape(b * c * n_heads, hd).T
-                av = attend(k_self, v_self, qg, t_bias).reshape(b, c, n_heads, hd)
+                av = attend(k_self, v_self, qg, t_bias, p_end).reshape(b, c, n_heads, hd)
                 proc = q_mlp + mha_out(av, mha)  # (B, C, E)
 
                 # ---- 2. cross-channel interactions ----
@@ -570,7 +589,7 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
                 k_inter = jax.lax.dynamic_update_slice_in_dim(cache["k_inter"], to_row(k_i), t, axis=0)
                 v_inter = jax.lax.dynamic_update_slice_in_dim(cache["v_inter"], to_row(v_i), t, axis=0)
                 qg_i = (q_i * scale).reshape(b * c * (c - 1) * n_heads, hd).T
-                av_i = attend(k_inter, v_inter, qg_i, t_bias).reshape(b, c, c - 1, n_heads, hd)
+                av_i = attend(k_inter, v_inter, qg_i, t_bias, p_end).reshape(b, c, c - 1, n_heads, hd)
                 out_i = jnp.einsum("bcjhd,cjhde->bcje", av_i, imha["out"]["kernel"]) + imha["out"]["bias"][None]
                 outs = q_mlp_i + out_i  # (B, C, C-1, E)
                 concat = outs.reshape(b, c, (c - 1) * e)
@@ -611,6 +630,8 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
             frame = nn.sigmoid(jnp.stack([x_pos, y_pos], axis=-2)).reshape(b, c, f)
             return (new_caches, frame), frame
 
+          return step
+
         caches0 = [
             {
                 "k_self": jnp.zeros((s, hd, b * c * n_heads), cache_dtype),
@@ -621,7 +642,33 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
             for _ in range(n_layers)
         ]
         prev0 = jnp.zeros((b, c, f), dtype)
-        (_, _), frames = jax.lax.scan(step, (caches0, prev0), jnp.arange(s))
+        # Chunked-prefix scans: the time loop is split into n_chunks
+        # consecutive scans; chunk ci's step statically reads only the
+        # first ceil(s*(ci+1)/n_chunks) cache rows in attend(). Average
+        # cache traffic drops to (n+1)/(2n) of full-length reads — the
+        # decode's dominant cost once the caches spill VMEM (f32 caches
+        # ~105MB at T=128, 2x at 256; bf16 halves both). Measured (v5e,
+        # B=4, C=10, device profiler span): T<=64 chunking LOSES
+        # slightly (0.93-0.95x — caches still resident, extra scan
+        # bodies only add fixed cost); T=112 f32 1.10x (nc=2);
+        # T=128 f32 1.17x (nc=2, nc=4 ties), bf16 1.10x (nc=2, nc=4
+        # REGRESSES to 0.98x); T=256 f32 1.55x (nc=4, nc=8 ties),
+        # bf16 1.22-1.28x. Auto policy below follows those crossovers
+        # for both cache dtypes; each chunk compiles its own step body.
+        if n_chunks == "auto":
+            nc = 1 if s < 112 else (2 if s < 256 else 4)
+        else:
+            nc = int(n_chunks)
+        carry = (caches0, prev0)
+        parts = []
+        start = 0
+        for ci in range(nc):
+            p_end = -(-s * (ci + 1) // nc)  # ceil
+            carry, fr = jax.lax.scan(step_of(p_end), carry,
+                                     jnp.arange(start, p_end))
+            parts.append(fr)
+            start = p_end
+        frames = parts[0] if nc == 1 else jnp.concatenate(parts, axis=0)
         # frames: (S, B, C, F) -> (B, S, C, 2, D)
         frames = jnp.transpose(frames, (1, 0, 2, 3))
         return frames.reshape(b, s, c, 2, f // 2)

@@ -386,6 +386,124 @@ def main():
         add(f"ctc_beam_host_b8_T{T_REC}_W{W}", min(host_times),
             f"B={B_REC} T={T_REC} K={K_CTC} W={W}, host python (min of 3)")
 
+    # --- Frame autoencoder train step (production b2048 profile) ---
+    # Reference train_autoencoder.yaml: batch 2048, in_features 100 (2x50),
+    # hidden 50, the full 10-articulator indices_dict, alpha 0.1.
+    from artspeech_tpu.models.autoencoder import (
+        MultiArticulatorAutoencoder,
+        MultiDecoder,
+        MultiEncoder,
+        latent_size_of,
+        normalize_indices_dict,
+    )
+    from artspeech_tpu.train.pc_step import (
+        make_autoencoder_train_step,
+        make_latent_rnn_train_step,
+    )
+
+    PC_INDICES = normalize_indices_dict({
+        "tongue": 8, "lower-lip": 4, "upper-lip": 4, "soft-palate-midline": 3,
+        "thyroid-cartilage": 2, "arytenoid-cartilage": 4, "epiglottis": 3,
+        "lower-incisor": 3, "pharynx": 2, "vocal-folds": 2,
+    })
+    N_ART_PC = len(PC_INDICES)
+    D_PC = 50
+    B_AE = 2048
+    ae_denorm_mean = jnp.zeros((N_ART_PC, 2, D_PC))
+    ae_denorm_std = jnp.ones((N_ART_PC, 2, D_PC))
+    ae_batch = {
+        "inputs": jnp.asarray(
+            rng.normal(size=(B_AE, N_ART_PC, 2 * D_PC)).astype(np.float32)
+        ),
+        "weights": jnp.ones((B_AE,), jnp.float32),
+    }
+    ae = MultiArticulatorAutoencoder(
+        indices_dict=PC_INDICES, in_features=2 * D_PC, hidden_features=D_PC,
+    )
+    ae_params = ae.init(jax.random.PRNGKey(0), ae_batch["inputs"][:1])["params"]
+    ae_state = TrainState.create(apply_fn=ae.apply, params=ae_params,
+                                 tx=optax.adam(1e-4))
+    ae_step = make_autoencoder_train_step(
+        ae, PC_INDICES, alpha=0.1, denorm_mean=ae_denorm_mean,
+        denorm_std=ae_denorm_std, to_mm=220.0, donate=False,
+    )
+
+    def ae_chain(carry):
+        st, _ = carry
+        st2, m = ae_step(st, ae_batch)
+        return st2, m["loss"]
+
+    ms, dev = measure(ae_chain, (ae_state, jnp.zeros(())), lambda c: float(c[1]))
+    # fwd FLOPs: per articulator enc (F->H->k) + dec (k->H->F), x3 for fwd+bwd
+    fl_ae = 3 * sum(
+        2 * B_AE * (2 * D_PC * D_PC + D_PC * len(v) + len(v) * D_PC + D_PC * 2 * D_PC)
+        for v in PC_INDICES.values()
+    )
+    add("autoencoder_train_step_b2048", ms,
+        f"B={B_AE} Nart={N_ART_PC} reference production batch, "
+        f"{B_AE / (dev or ms) * 1e3:,.0f} frames/s", fl_ae, device_ms=dev)
+
+    # --- Latent-RNN (phoneme -> principal components) train step ---
+    # Reference train_autoencoder_based.yaml: batch 12, GRU hidden 128,
+    # embed 64, frozen AE composite loss (beta1/2/3 = 0.5/3.0/1.0).
+    from artspeech_tpu.losses.autoencoder import make_autoencoder_loss
+    from artspeech_tpu.models.latent_rnn import PrincipalComponentsArtSpeech
+    from artspeech_tpu.train.state import create_train_state
+
+    LATENT_PC = latent_size_of(PC_INDICES)
+    B_LR, T_LR = 12, 128
+    lr_enc = MultiEncoder(indices_dict=PC_INDICES, in_features=2 * D_PC,
+                          hidden_features=D_PC)
+    lr_dec = MultiDecoder(indices_dict=PC_INDICES, in_features=2 * D_PC,
+                          hidden_features=D_PC)
+    lr_enc_params = lr_enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, N_ART_PC, 2 * D_PC))
+    )["params"]
+    lr_dec_params = lr_dec.init(jax.random.PRNGKey(1), jnp.zeros((1, LATENT_PC)))[
+        "params"
+    ]
+    lr_encode = lambda x: jnp.tanh(lr_enc.apply({"params": lr_enc_params}, x))
+    lr_decode = lambda z: lr_dec.apply({"params": lr_dec_params}, z)
+    lr_loss = make_autoencoder_loss(
+        lr_encode, lr_decode, ["LA", "TTCD", "TBCD"], sorted(PC_INDICES),
+        beta1=0.5, beta2=3.0, beta3=1.0,
+        denorm_mean=ae_denorm_mean, denorm_std=ae_denorm_std,
+    )
+    lr_model = PrincipalComponentsArtSpeech(
+        vocab_size=64, indices_dict=PC_INDICES, embed_dim=64, hidden_size=128,
+        rnn_dropout=0.1,
+    )
+    lr_tokens = jnp.asarray(rng.integers(0, 64, (B_LR, T_LR)), jnp.int32)
+    lr_lengths = jnp.full((B_LR,), T_LR, jnp.int32)
+    lr_state = create_train_state(
+        lr_model, jax.random.PRNGKey(0), (lr_tokens, lr_lengths),
+        learning_rate=1e-4,
+    )
+    lr_batch = {
+        "tokens": lr_tokens,
+        "lengths": lr_lengths,
+        "targets": jnp.asarray(
+            rng.normal(size=(B_LR, T_LR, N_ART_PC, 2, D_PC)).astype(np.float32)
+        ),
+        "references": jnp.full((B_LR, T_LR, 3, 2, D_PC), 0.5, jnp.float32),
+        "critical_masks": jnp.ones((B_LR, 3, T_LR), jnp.int32),
+        "voicing": jnp.zeros((B_LR, T_LR), jnp.float32),
+    }
+    lr_step = make_latent_rnn_train_step(
+        lr_model, lr_loss, lr_decode, ae_denorm_mean, ae_denorm_std,
+        to_mm=220.0, donate=False,
+    )
+
+    def lr_chain(carry):
+        st, _ = carry
+        st2, m = lr_step(st, lr_batch, jax.random.PRNGKey(0))
+        return st2, m["loss"]
+
+    ms, dev = measure(lr_chain, (lr_state, jnp.zeros(())), lambda c: float(c[1]))
+    add(f"latent_rnn_train_step_b{B_LR}", ms,
+        f"B={B_LR} T={T_LR} GRU h128 + frozen-AE composite loss, "
+        f"{B_LR * T_LR / (dev or ms) * 1e3:,.0f} frames/s", device_ms=dev)
+
     # --- Transformer: teacher-forced train step + generate crossover ---
     from artspeech_tpu.models.transformer import ArtSpeechTransformer, make_fast_generate
     from artspeech_tpu.train.step import make_transformer_train_step

@@ -186,6 +186,47 @@ def test_fast_generate_matches_generate():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=5e-4)
 
 
+def test_fast_generate_chunked_prefix_matches_single_scan():
+    """fast_generate(n_chunks=n) splits the time loop into n chunked-prefix
+    scans (each reading only the live cache prefix); rows past t are exact
+    softmax zeros either way, so chunking must be invariant: identical to
+    the single-scan path up to per-chunk XLA reduction tiling (measured
+    <=1e-5). The single-scan path's parity against the full-buffer
+    re-decode is covered by test_fast_generate_matches_generate at short T
+    — a long-T comparison against ``generate`` is NOT meaningful at random
+    init: per-step reduction-order noise (~1e-6) amplifies chaotically
+    through the autoregressive feedback (measured 0.25 over 22 steps at
+    one seed, equally for n_chunks=1), which says nothing about chunking.
+    T=22 with 3 chunks covers the uneven ceil-split boundaries
+    (p_end 8, 15, 22)."""
+    from artspeech_tpu.models.transformer import make_fast_generate
+
+    model = small_model()
+    for T, n_chunks, length in ((64, 4, 50), (22, 3, 17)):
+        B = 1
+        tokens = jnp.asarray(
+            np.random.default_rng(3).integers(0, V, (B, T)), jnp.int32
+        )
+        lengths = jnp.asarray([length], jnp.int32)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            tokens,
+            jnp.zeros((B, T, C, 2 * D)),
+            lengths,
+            lengths,
+        )["params"]
+        single = jax.jit(make_fast_generate(model, n_chunks=1))(
+            params, tokens, lengths
+        )
+        chunked = jax.jit(make_fast_generate(model, n_chunks=n_chunks))(
+            params, tokens, lengths
+        )
+        assert chunked.shape == single.shape == (B, T, C, 2, D)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(single), atol=1e-4
+        )
+
+
 def test_auto_generate_dispatch():
     """make_auto_generate picks the buffer path exactly inside the measured
     [BUFFER_WINS_LO, BUFFER_WINS_HI] band and the cached scan outside, and
