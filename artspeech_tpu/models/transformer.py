@@ -680,9 +680,10 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
 # round-3 crossover table in benchmarks/BENCH_DETAILS.md): the buffer path
 # is faster only for source lengths in [64, 112] (its per-redecode cost is
 # flat until a compiler tiling cliff between T=112 and T=128). The band
-# survived the (S, hd, G) cache-layout rework unchanged — re-measured
-# 2026-08 at T in {16..256}: cached 1.6-2.5x below it, 3.0-4.6x above it,
-# 0.71-0.87x inside it.
+# survived the (S, hd, G) cache-layout rework and the chunked-prefix
+# scans unchanged — re-measured 2026-08 at T in {16..256}: cached
+# 1.6-2.5x below it, 3.9-6.8x above it (with chunking), 0.73-0.86x
+# inside it.
 BUFFER_WINS_LO = 64
 BUFFER_WINS_HI = 112
 
