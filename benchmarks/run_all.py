@@ -544,6 +544,38 @@ def main():
             fl, device_ms=dev)
     tr, tr_params = tr_f32, tr_f32_params  # generate benches reuse the f32 model
 
+    # --- training-throughput batch: same model/params at B=64 ---
+    # bs 12 is the thesis setting (latency/parity row); B=64 shows how far
+    # the step is from compute-bound — params are batch-independent, so the
+    # f32 tree is reused for both compute dtypes.
+    b_big = 64
+    big_batch = {
+        "tokens": jnp.asarray(rng.integers(0, 64, (b_big, t_tr)), jnp.int32),
+        "targets": jnp.asarray(
+            rng.uniform(size=(b_big, t_tr, C_TR, 2, 50)).astype(np.float32)
+        ),
+        "lengths": jnp.full((b_big,), t_tr, jnp.int32),
+    }
+    for dt in (None, "bfloat16"):
+        tr_b = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR,
+                                    dropout=0.1, dtype=dt)
+        tr_state = TrainState.create(apply_fn=tr_b.apply, params=tr_f32_params,
+                                     tx=optax.adam(1e-4))
+
+        def tr_big_chain(carry, tr_step=tr_step):
+            st, _ = carry
+            st2, m = tr_step(st, big_batch, jax.random.PRNGKey(0))
+            return st2, m["loss"]
+
+        ms, dev = measure(tr_big_chain, (tr_state, jnp.zeros(())),
+                          lambda c: float(c[1]))
+        fl = 3 * transformer_fwd_flops(b_big, t_tr, t_tr, C_TR)
+        tag = f"transformer_train_step_b{b_big}" + ("_bf16" if dt else "")
+        add(tag, ms,
+            f"B={b_big} T={t_tr} C={C_TR}, "
+            f"{b_big * t_tr / (dev or ms) * 1e3:,.0f} frames/s",
+            fl, device_ms=dev)
+
     B_GEN = 4
     gen_rows = {}
     for t_gen in (16, 32, 64, 96, 112, 128, 256):
@@ -583,6 +615,32 @@ def main():
             device_ms=dev_f16)
         gen_rows[t_gen] = (dev_buf or ms_buf, dev_fast or ms_fast,
                            dev_f16 or ms_f16)
+
+    # --- serving-batch decode throughput (cached path, T=128) ---
+    # The B=4 rows above are latency-bound (~90 sub-MXU matmuls per step,
+    # NOTES.md "Fused Mosaic decode time-loop"); batching amortizes that
+    # fixed per-step cost, so offline synthesis should batch sentences as
+    # wide as the bucket allows. These rows pin the throughput curve.
+    T_SRV = 128
+    for b_srv in (16, 64):
+        src_s = jnp.asarray(rng.integers(0, 64, (b_srv, T_SRV)), jnp.int32)
+        len_s = jnp.full((b_srv,), T_SRV, jnp.int32)
+        for cd, tag16 in ((None, ""), ("bfloat16", "_bf16")):
+            gen_s = jax.jit(make_fast_generate(tr, T_SRV, cache_dtype=cd))
+
+            def srv_chain(carry, gen_s=gen_s, src_s=src_s, len_s=len_s):
+                src_c, _ = carry
+                frames = gen_s(tr_params, src_c, len_s)
+                anchor = jnp.sum(frames)
+                return dep(src_c, anchor), anchor
+
+            ms_s, dev_s = measure(srv_chain, (src_s, jnp.zeros(())),
+                                  lambda c: float(c[1]), n1=2, n2=8)
+            add(f"transformer_generate_cached{tag16}_T{T_SRV}_b{b_srv}",
+                ms_s,
+                f"B={b_srv} serving batch, "
+                f"{b_srv * T_SRV / (dev_s or ms_s) * 1e3:,.0f} frames/s",
+                device_ms=dev_s)
 
     # --- fused synthesis pipeline ---
     from artspeech_tpu.core import constants as C
