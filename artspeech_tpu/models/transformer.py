@@ -50,10 +50,61 @@ class PositionalEncoding(nn.Module):
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
+class _LayerNormParams(nn.Module):
+    """Parameter bag matching ``nn.LayerNorm``'s tree ({scale, bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Parameter bag matching ``nn.Dense``'s tree ({kernel, bias})."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+            ),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+def _norm_f32(x):
+    """flax LayerNorm statistics (f32, fast variance), no affine."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
+    return (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+
+
 class ChannelProcessingLayer(nn.Module):
     """LN -> Q/K/V MLPs -> MHA -> query residual (reference models.py:37-100).
 
     The reference applies the SAME LayerNorm to src and tgt; kept here.
+
+    The LayerNorm affine is FOLDED into the Q/K/V MLP kernels at apply time
+    (``relu((x_n*s + b) @ W + c) == relu(x_n @ (s[:,None]*W) + (b@W + c))``;
+    parameter tree and numerics unchanged up to float reassociation — the
+    torch golden test tests/test_transformer_torch_parity.py pins both).
+    Why: every instance of this layer runs under ``nn.vmap`` with stacked
+    params, and two of the three call sites pass an UNBATCHED ``src`` (the
+    encoder memory, vmapped over C; each channel's own frames, vmapped over
+    the C-1 pair axis). Folding keeps the normalized src unbatched, so
+    vmap's dot_general batching rule merges the stacked kernels into the
+    RHS free dims: ONE (B*S, E) x (E, pairs*F) MXU matmul instead of
+    ``pairs`` separate half-lane dots, and no (B, C, C-1, L, E) broadcast
+    of the per-pair LN affine — at B=64 that broadcast alone was ~1.8GB of
+    HBM traffic per decoder layer per direction.
     """
 
     embed_dim: int
@@ -69,12 +120,23 @@ class ChannelProcessingLayer(nn.Module):
             tgt: (..., L, E) queries source.
             mask: broadcastable to (..., num_heads, L, S) boolean, True=keep.
         """
-        ln = nn.LayerNorm(dtype=self.dtype)
-        src = ln(src)
-        tgt = ln(tgt)
-        query = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(tgt))
-        key = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(src))
-        value = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(src))
+        e = src.shape[-1]
+        ln_scale, ln_bias = _LayerNormParams(e, name="LayerNorm_0")()
+        q_k, q_b = _DenseParams(e, self.embed_dim, name="Dense_0")()
+        k_k, k_b = _DenseParams(e, self.embed_dim, name="Dense_1")()
+        v_k, v_b = _DenseParams(e, self.embed_dim, name="Dense_2")()
+        dt = self.dtype or jnp.promote_types(src.dtype, jnp.float32)
+
+        def folded_mlp(x_n, kernel, bias):
+            k = (ln_scale[:, None] * kernel).astype(dt)
+            b = (ln_bias @ kernel + bias).astype(dt)
+            return nn.relu(jnp.matmul(x_n.astype(dt), k) + b)
+
+        src_n = _norm_f32(src)
+        tgt_n = src_n if tgt is src else _norm_f32(tgt)
+        query = folded_mlp(tgt_n, q_k, q_b)
+        key = folded_mlp(src_n, k_k, k_b)
+        value = folded_mlp(src_n, v_k, v_b)
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dropout_rate=self.dropout,
@@ -119,8 +181,15 @@ class ChannelInteractionsLayer(nn.Module):
         b, n, l, e = outs.shape
         concat = jnp.swapaxes(outs, 1, 2).reshape(b, l, n * e)
         concat = drop(concat, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(concat)
-        return nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(h))
+        # LN affine folded into the projection (same trick as
+        # ChannelProcessingLayer: tree/numerics preserved, one fewer
+        # elementwise pass over the (B, L, (C-1)*E) concat per channel).
+        ln_scale, ln_bias = _LayerNormParams(n * e, name="LayerNorm_0")()
+        kernel, bias = _DenseParams(n * e, self.embed_dim, name="Dense_0")()
+        dt = self.dtype or jnp.promote_types(concat.dtype, jnp.float32)
+        k = (ln_scale[:, None] * kernel).astype(dt)
+        bb = (ln_bias @ kernel + bias).astype(dt)
+        return nn.relu(jnp.matmul(_norm_f32(concat).astype(dt), k) + bb)
 
 
 class MultiChannelDecoderLayer(nn.Module):
@@ -190,8 +259,15 @@ class MultiChannelDecoderLayer(nn.Module):
         attended = mem_vmapped(mem_d, inter_d, memory_mask, deterministic)
 
         attended = nn.LayerNorm(dtype=self.dtype)(attended)
-        h = nn.LayerNorm(dtype=self.dtype)(drop(attended, deterministic=deterministic))
-        ff = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype)(h))
+        # pre-FF LN affine folded into the FF projection (tree preserved)
+        e = self.embed_dim
+        ln_scale, ln_bias = _LayerNormParams(e, name="LayerNorm_1")()
+        kernel, bias = _DenseParams(e, e, name="Dense_0")()
+        dt = self.dtype or jnp.promote_types(attended.dtype, jnp.float32)
+        k = (ln_scale[:, None] * kernel).astype(dt)
+        bb = (ln_bias @ kernel + bias).astype(dt)
+        h = _norm_f32(drop(attended, deterministic=deterministic))
+        ff = nn.relu(jnp.matmul(h.astype(dt), k) + bb)
         return attended + ff
 
 
