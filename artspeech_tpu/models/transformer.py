@@ -87,6 +87,63 @@ def _norm_f32(x):
     return (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
 
 
+def lean_attention(query, key, value, bias=None, mask=None,
+                   broadcast_dropout=True, dropout_rng=None,
+                   dropout_rate=0.0, deterministic=False, dtype=None,
+                   precision=None):
+    """``nn.dot_product_attention`` with the softmax normalizer folded into
+    the OUTPUT: ``o = (exp(s-m) * keep) @ v / (z * keep_prob)``.
+
+    The normalized-probabilities tensor — for the decoder's cross-channel
+    attention a (B, C, C-1, H, L, L) array, ~283MB at the bench shape — is
+    never materialized, saving one full score-sized write + read per
+    attention in the forward AND the corresponding normalize-backward passes
+    in the VJP. Measured on one MultiChannelDecoderLayer fwd+bwd (v5e, B=12,
+    T=128, C=10): 5.72 -> 5.15 ms device (benchmarks/NOTES.md "Lean
+    attention").
+
+    Numerics: identical to flax's ``dot_product_attention`` up to float
+    reassociation of the 1/z divide (the same contract as the folded
+    LayerNorm affines above) — max |delta| 1.1e-6 on CPU f32 where the torch
+    golden tests run; on TPU the default bf16-MXU matmul precision makes the
+    reassociation visible at ~1e-2 absolute, the same noise class as any
+    re-fusion at that precision. Dropout semantics match flax exactly
+    (broadcast over batch AND head dims, applied to the probabilities —
+    folding the keep-mask into the unnormalized weights and ``keep_prob``
+    into the output scale is exact).
+    """
+    dtype = dtype or jnp.promote_types(query.dtype, jnp.float32)
+    hd = query.shape[-1]
+    s = jnp.einsum(
+        "...qhd,...khd->...hqk",
+        (query / math.sqrt(hd)).astype(dtype),
+        key.astype(dtype),
+        precision=precision,
+    )
+    if bias is not None:
+        s = s + bias
+    if mask is not None:
+        s = jnp.where(mask, s, jnp.finfo(s.dtype).min)
+    m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    e = jnp.exp(s - m)
+    z = jnp.sum(e, axis=-1, keepdims=True)  # (..., h, q, 1)
+    scale = 1.0
+    if not deterministic and dropout_rate > 0.0:
+        keep_prob = 1.0 - dropout_rate
+        if broadcast_dropout:
+            # flax broadcasts over batch AND head dims: [1]*(key.ndim-2)+(q,k)
+            shape = tuple([1] * (e.ndim - 2)) + e.shape[-2:]
+            keep = jax.random.bernoulli(dropout_rng, keep_prob, shape)
+        else:
+            keep = jax.random.bernoulli(dropout_rng, keep_prob, e.shape)
+        e = e * keep.astype(e.dtype)
+        scale = keep_prob
+    o = jnp.einsum(
+        "...hqk,...khd->...qhd", e, value.astype(e.dtype), precision=precision
+    )
+    return o / (jnp.swapaxes(z, -3, -2) * scale)  # z -> (..., q, h, 1)
+
+
 class ChannelProcessingLayer(nn.Module):
     """LN -> Q/K/V MLPs -> MHA -> query residual (reference models.py:37-100).
 
@@ -142,6 +199,7 @@ class ChannelProcessingLayer(nn.Module):
             dropout_rate=self.dropout,
             deterministic=deterministic,
             dtype=self.dtype,
+            attention_fn=lean_attention,
         )(query, key, value, mask=mask)
         return query + out
 
@@ -162,8 +220,19 @@ class ChannelInteractionsLayer(nn.Module):
         """
         Args:
             src_channel: (B, L, E); tgt_channels: (B, Nother, L, E).
+
+        Dropout on the inputs runs at the COMPOSED rate 1-(1-p)^2: the
+        reference drops these tensors twice back to back — once in the
+        decoder layer (models.py:253-254) and again here (models.py:147-148).
+        Two independent Dropout(p) passes are distribution-identical to one
+        Dropout(1-(1-p)^2) (per element: keep ~ Bern((1-p)^2), survivor
+        scale 1/(1-p)^2 either way), so the composition is folded into this
+        layer and ``MultiChannelDecoderLayer`` no longer pre-drops — saving
+        one full mask generation + apply over the (B, C, C-1, L, E) pair
+        tensor per decoder layer (benchmarks/NOTES.md "Lean attention").
         """
-        drop = nn.Dropout(self.dropout)
+        composed = 1.0 - (1.0 - self.dropout) ** 2
+        drop = nn.Dropout(composed)
         src = drop(src_channel, deterministic=deterministic)
         tgts = drop(tgt_channels, deterministic=deterministic)
 
@@ -180,7 +249,8 @@ class ChannelInteractionsLayer(nn.Module):
         # (B, Nother, L, E) -> concat channels (B, L, Nother * E)
         b, n, l, e = outs.shape
         concat = jnp.swapaxes(outs, 1, 2).reshape(b, l, n * e)
-        concat = drop(concat, deterministic=deterministic)
+        # single reference dropout (models.py:159) — plain rate, not composed
+        concat = nn.Dropout(self.dropout)(concat, deterministic=deterministic)
         # LN affine folded into the projection (same trick as
         # ChannelProcessingLayer: tree/numerics preserved, one fewer
         # elementwise pass over the (B, L, (C-1)*E) concat per channel).
@@ -241,9 +311,10 @@ class MultiChannelDecoderLayer(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
         )(self.embed_dim, self.num_heads, c - 1, self.dropout, self.dtype)
-        proc_d = drop(proc, deterministic=deterministic)
-        others_d = drop(others, deterministic=deterministic)
-        inter = inter_vmapped(proc_d, others_d, tgt_mask, deterministic)
+        # The reference's decoder-level drop of proc/others (models.py:253-254)
+        # is folded into ChannelInteractionsLayer's composed-rate input drop
+        # (distribution-identical; see its docstring).
+        inter = inter_vmapped(proc, others, tgt_mask, deterministic)
 
         # 3. cross attention to encoder memory, per channel
         mem_vmapped = nn.vmap(
@@ -288,6 +359,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout,
             deterministic=deterministic,
             dtype=self.dtype,
+            attention_fn=lean_attention,
         )(x, x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
         ff = nn.Dense(self.ff_dim, dtype=self.dtype)(x)

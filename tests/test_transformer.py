@@ -348,3 +348,70 @@ def test_bfloat16_cache_dtype_optin():
         np.asarray(auto16(params, tok_b, len_b)),
         np.asarray(cached16(params, tok_b, len_b)),
     )
+
+
+def test_lean_attention_matches_flax():
+    """lean_attention == flax dot_product_attention: deterministic path to
+    float-reassociation tolerance; train path EXACTLY shares the keep mask
+    (same rng, same broadcast shape), so with scale folded the outputs agree
+    to the same tolerance."""
+    import flax.linen as nn
+    from artspeech_tpu.models.transformer import lean_attention
+
+    rng = jax.random.PRNGKey(42)
+    kq, kk, kv, km, kd = jax.random.split(rng, 5)
+    B, L, S, H, HD = 2, 7, 5, 2, 8
+    q = jax.random.normal(kq, (B, L, H, HD))
+    k = jax.random.normal(kk, (B, S, H, HD))
+    v = jax.random.normal(kv, (B, S, H, HD))
+    mask = jax.random.bernoulli(km, 0.8, (B, 1, L, S))
+    # keep one key visible everywhere so no fully-masked rows
+    mask = mask.at[..., 0].set(True)
+
+    ref = nn.dot_product_attention(q, k, v, mask=mask, deterministic=True)
+    got = lean_attention(q, k, v, mask=mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # train mode: same dropout_rng must produce the same keep pattern
+    ref_d = nn.dot_product_attention(
+        q, k, v, mask=mask, dropout_rng=kd, dropout_rate=0.3,
+        deterministic=False)
+    got_d = lean_attention(
+        q, k, v, mask=mask, dropout_rng=kd, dropout_rate=0.3,
+        deterministic=False)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), atol=1e-5)
+
+
+def test_composed_dropout_distribution():
+    """Two back-to-back Dropout(p) == one Dropout(1-(1-p)^2): identical
+    per-element keep probability and survivor scale (the decoder folds the
+    reference's double input-drop this way)."""
+    p = 0.25
+    composed = 1.0 - (1.0 - p) ** 2
+    x = jnp.ones((512, 64))
+    import flax.linen as nn
+
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dropout(p, deterministic=False)(x)
+            return nn.Dropout(p, deterministic=False)(x)
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dropout(composed, deterministic=False)(x)
+
+    two = Two().apply({}, x, rngs={"dropout": jax.random.PRNGKey(1)})
+    one = One().apply({}, x, rngs={"dropout": jax.random.PRNGKey(2)})
+    # survivors carry the same scale: 1/(1-p)^2 == 1/(1-composed)
+    scale = 1.0 / (1.0 - p) ** 2
+    for out in (two, one):
+        vals = np.unique(np.asarray(out))
+        assert len(vals) == 2
+        np.testing.assert_allclose(vals, [0.0, scale], atol=1e-5)
+    # empirical keep rates agree (n=32768, ~0.8% 3-sigma band)
+    keep_two = float((two != 0).mean())
+    keep_one = float((one != 0).mean())
+    assert abs(keep_two - (1 - composed)) < 0.012
+    assert abs(keep_one - (1 - composed)) < 0.012
