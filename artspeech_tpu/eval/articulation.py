@@ -28,7 +28,6 @@ from artspeech_tpu.losses.articulation import masked_euclidean_loss
 from artspeech_tpu.ops.bspline import regularize_bsplines
 from artspeech_tpu.ops.distances import (
     euclidean_distance,
-    mean_p2cp_auto as mean_p2cp,
     mean_p2cp_channel_major,
     pearson_correlation,
 )

@@ -300,12 +300,16 @@ def tube_area_function(
         l = internal_wall.shape[0]
         idx = jnp.where(valid, jnp.arange(l), -1)
         fwd = jax.lax.associative_scan(jnp.maximum, idx)  # last valid <= i
+        # Backfill wants the NEAREST valid line to the right (min valid
+        # index >= i): a maximum-scan here would land head lines on the
+        # LAST valid line, inserting a phantom nonzero midline step from
+        # it back to the first valid one.
         bwd = jnp.flip(
             jax.lax.associative_scan(
-                jnp.maximum, jnp.where(jnp.flip(valid), jnp.arange(l - 1, -1, -1), -1)
+                jnp.minimum, jnp.where(jnp.flip(valid), jnp.arange(l - 1, -1, -1), l)
             )
-        )  # first valid >= i
-        take = jnp.where(fwd >= 0, fwd, jnp.maximum(bwd, 0))
+        )  # first valid >= i (l if none)
+        take = jnp.where(fwd >= 0, fwd, jnp.minimum(bwd, l - 1))
         # One-hot matmul instead of a row gather: TPU lowers the gather to
         # a slow scalar loop (1.15ms/step vmapped over the synthesis
         # pipeline); an (L, L) one-hot contraction against both walls

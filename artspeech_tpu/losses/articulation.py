@@ -43,6 +43,7 @@ def p2cp_distance_mm(
     lengths,
     dataset_config: Optional[DatasetConfig] = None,
     to_mm: Optional[float] = None,
+    reduce: bool = True,
 ):
     """Mean P2CP distance in millimetres, masked per sentence.
 
@@ -53,6 +54,9 @@ def p2cp_distance_mm(
     Args:
         outputs, targets: (B, T, Nart, 2, D).
         lengths: (B,).
+        reduce: if False, return ``(per_sentence, valid)`` (both (B,))
+            instead of the batch mean — for callers that aggregate across
+            shards with uneven valid-sentence counts (train/step.py).
     """
     if to_mm is None:
         to_mm = mm_per_unit(dataset_config) if dataset_config is not None else 1.0
@@ -65,6 +69,8 @@ def p2cp_distance_mm(
     )
     # Zero-length dummy rows (bucket padding) must not dilute the batch mean.
     valid = (lengths > 0).astype(p2cp.dtype)
+    if not reduce:
+        return per_sentence * valid, valid
     return jnp.sum(per_sentence * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 

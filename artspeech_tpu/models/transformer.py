@@ -83,7 +83,12 @@ def _norm_f32(x):
     """flax LayerNorm statistics (f32, fast variance), no affine."""
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
+    # flax clamps the fast variance at 0 (nn.normalization._compute_stats):
+    # float cancellation on a near-constant row can make E[x^2]-E[x]^2
+    # negative beyond the epsilon, and rsqrt(negative) would be NaN.
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
+    )
     return (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
 
 

@@ -165,10 +165,16 @@ def _make_artspeech_train_step_shard_map(
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss}
         if with_p2cp:
-            # Per-sentence means then batch mean; equal shard sizes make the
-            # global batch mean the mean of shard means.
-            local = p2cp_distance_mm(outputs, targets, lengths, to_mm=to_mm)
-            metrics["p2cp_mm"] = jax.lax.pmean(local, axis)
+            # The global metric is a mean over VALID (length>0) sentences;
+            # bucket-padding dummy rows can land unevenly across shards, so
+            # psum the numerator and the valid count separately — a pmean of
+            # per-shard means would weight shards, not sentences.
+            per_sentence, valid = p2cp_distance_mm(
+                outputs, targets, lengths, to_mm=to_mm, reduce=False
+            )
+            num = jax.lax.psum(jnp.sum(per_sentence), axis)
+            den = jax.lax.psum(jnp.sum(valid), axis)
+            metrics["p2cp_mm"] = num / jnp.maximum(den, 1.0)
         return state, metrics
 
     batch_spec = {

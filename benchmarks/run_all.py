@@ -247,8 +247,6 @@ def main():
     # The fwd+bwd pair of one bidirectional layer's recurrences (input
     # projections hoisted, as in the models). Records the measured basis for
     # the ops/pallas_gru.py dispatch at the production b256 shape.
-    from functools import partial as _partial
-
     from artspeech_tpu.ops.gru import _gru_scan, _lstm_scan
     from artspeech_tpu.ops.pallas_gru import gru_sequence, lstm_sequence
 

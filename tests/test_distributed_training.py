@@ -216,10 +216,16 @@ def test_epoch_metrics_weighted_by_sentence_count():
     np.testing.assert_allclose(means["loss"], (4 * 2.0 + 1 * 7.0) / 5.0)
 
 
-def test_shard_map_step_matches_single_device():
+@pytest.mark.parametrize("ragged", [False, True])
+def test_shard_map_step_matches_single_device(ragged):
     """The manual-SPMD (shard_map) train step — the dp path that keeps the
     Pallas recurrence kernels dispatchable — reproduces the single-device
-    step: same losses/metrics and same parameters after two updates."""
+    step: same losses/metrics and same parameters after two updates.
+
+    The ragged case concentrates bucket-padding dummy rows (length 0) on the
+    tail shards: the p2cp metric is a mean over VALID sentences, so it must
+    be aggregated as psum(num)/psum(count), not a pmean of per-shard means
+    (which would report ~3/8 of the true value here)."""
     import jax.numpy as jnp
 
     from artspeech_tpu.models.artspeech_rnn import ArtSpeech
@@ -233,6 +239,10 @@ def test_shard_map_step_matches_single_device():
     model = ArtSpeech(vocab_size=32, n_articulators=NART, dropout=0.0)
     tokens = jnp.asarray(rng.integers(0, 32, (B, T)), jnp.int32)
     lengths = jnp.asarray(rng.integers(2, T + 1, (B,)), jnp.int32)
+    if ragged:
+        # Last 44 of 64 rows are dummies: shards 3-7 of a dp8 mesh hold
+        # no real sentence at all.
+        lengths = lengths.at[20:].set(0)
     state = create_train_state(model, jax.random.PRNGKey(0), (tokens, lengths), 1e-4)
     batch = {
         "tokens": tokens,

@@ -180,6 +180,41 @@ def test_intersect_semipolar_grid_invalid_lines_masked():
     np.testing.assert_allclose(af[1], np.pi * 9.0, rtol=1e-5)
 
 
+def test_tube_area_function_head_invalid_lines():
+    """Leading invalid grid lines collapse onto the FIRST valid line (the
+    reference skips them, area_function.py:185-186). A wrong backfill onto
+    the LAST valid line would insert a phantom midline step from x=5 back
+    to x=0, doubling the tube length."""
+    import jax.numpy as jnp
+    from artspeech_tpu.geometry.area_function import (
+        intersect_semipolar_grid,
+        tube_area_function,
+    )
+
+    grid = np.zeros((4, 2, 2), np.float32)
+    grid[0] = [[50, 0], [50, 10]]  # far away: crosses nothing (head)
+    grid[1] = [[60, 0], [60, 10]]  # far away: crosses nothing (head)
+    grid[2] = [[0, 0], [0, 10]]    # crosses both walls at x=0
+    grid[3] = [[5, 0], [5, 10]]    # crosses both walls at x=5
+    internal = np.array([[-1.0, 2.0], [6.0, 2.0]], np.float32)
+    external = np.array([[-1.0, 8.0], [6.0, 8.0]], np.float32)
+    ipts, epts, valid = intersect_semipolar_grid(
+        jnp.asarray(internal), jnp.asarray(external), jnp.asarray(grid)
+    )
+    assert valid.tolist() == [False, False, True, True]
+
+    af = np.asarray(
+        tube_area_function(
+            jnp.asarray(internal), jnp.asarray(external), semipolar_grid=grid,
+            n_samples=16,
+        )
+    )
+    # Head lines duplicate the first valid section: midline spans x=0..5
+    # only (length 5, NOT 10), every section radius 3 -> area pi*9.
+    assert af[0, -1] == pytest.approx(5.0, abs=1e-4)
+    np.testing.assert_allclose(af[1], np.pi * 9.0, rtol=1e-5)
+
+
 def test_intersect_one_wall_endpoint_fallback():
     """Only one wall crossed: the other wall contributes its nearest
     endpoint (reference :200-221)."""

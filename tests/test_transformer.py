@@ -382,6 +382,18 @@ def test_lean_attention_matches_flax():
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), atol=1e-5)
 
 
+def test_norm_f32_clamps_negative_fast_variance():
+    """flax clamps the fast variance (E[x^2]-E[x]^2) at 0; without the clamp
+    a near-constant large-magnitude row cancels to a negative variance and
+    rsqrt goes NaN (32/512 rows at magnitude 1e3 in f32)."""
+    from artspeech_tpu.models.transformer import _norm_f32
+
+    rng = np.random.default_rng(0)
+    x = (1000.0 + 1e-4 * rng.standard_normal((512, 64))).astype(np.float32)
+    out = np.asarray(_norm_f32(jnp.asarray(x)))
+    assert np.isfinite(out).all()
+
+
 def test_composed_dropout_distribution():
     """Two back-to-back Dropout(p) == one Dropout(1-(1-p)^2): identical
     per-element keep probability and survivor scale (the decoder folds the
