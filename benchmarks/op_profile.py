@@ -139,10 +139,11 @@ def build_transformer(dtype):
     return chain, (state, jnp.zeros(())), lambda c: float(c[1])
 
 
-def build_transformer_decode(dtype):
-    """The KV-cached autoregressive decode at the T=128 bucket (B=4): the
-    slowest per-sample inference surface — per-step cost is dominated by the
-    while-body's per-op fixed cost, not FLOPs (see NOTES.md)."""
+def build_transformer_decode(dtype, b=4):
+    """The KV-cached autoregressive decode at the T=128 bucket: the slowest
+    per-sample inference surface — at B=4 per-step cost is dominated by the
+    while-body's per-op fixed cost; the B=64 serving batch shows where the
+    cost moves once the tiny ops have real extents (see NOTES.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +153,7 @@ def build_transformer_decode(dtype):
     )
 
     rng = np.random.default_rng(0)
-    b, t, c = 4, 128, 10
+    t, c = 128, 10
     src = jnp.asarray(rng.integers(0, 64, (b, t)), jnp.int32)
     tgt0 = jnp.asarray(rng.uniform(size=(b, t, c, 100)).astype(np.float32))
     lengths = jnp.full((b,), t, jnp.int32)
@@ -226,6 +227,7 @@ WORKLOADS = {
     "recognizer_b8": lambda dt: build_recognizer(dt),
     "transformer_b12": lambda dt: build_transformer(dt),
     "transformer_decode": lambda dt: build_transformer_decode(dt),
+    "transformer_decode_b64": lambda dt: build_transformer_decode(dt, b=64),
     "synthesis": lambda dt: build_synthesis(False),
     "synthesis_grid": lambda dt: build_synthesis(True),
 }
