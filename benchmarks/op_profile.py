@@ -16,6 +16,7 @@ Run (real TPU):
         python /root/repo/benchmarks/op_profile.py <workload>
 
 Workloads: bigru_b256 | bigru_b12 | recognizer_b8 | transformer_b12 |
+transformer_b64 |
 synthesis | synthesis_grid. Add ``--bf16`` for the bf16 model variants.
 """
 
@@ -104,7 +105,7 @@ def build_recognizer(dtype):
     return chain, (state, jnp.zeros(())), lambda c: float(c[1])
 
 
-def build_transformer(dtype):
+def build_transformer(dtype, b=12):
     import jax
     import jax.numpy as jnp
     import optax
@@ -114,7 +115,7 @@ def build_transformer(dtype):
     from artspeech_tpu.train.step import make_transformer_train_step
 
     rng = np.random.default_rng(0)
-    b, t, c = 12, 128, 10
+    t, c = 128, 10
     src = jnp.asarray(rng.integers(0, 64, (b, t)), jnp.int32)
     tgt = jnp.asarray(rng.uniform(size=(b, t, c, 100)).astype(np.float32))
     lengths = jnp.full((b,), t, jnp.int32)
@@ -226,6 +227,7 @@ WORKLOADS = {
     "bigru_b12": lambda dt: build_bigru(12, dt),
     "recognizer_b8": lambda dt: build_recognizer(dt),
     "transformer_b12": lambda dt: build_transformer(dt),
+    "transformer_b64": lambda dt: build_transformer(dt, b=64),
     "transformer_decode": lambda dt: build_transformer_decode(dt),
     "transformer_decode_b64": lambda dt: build_transformer_decode(dt, b=64),
     "synthesis": lambda dt: build_synthesis(False),
