@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from artspeech_tpu.models.heads import ArticulatorPredictor
@@ -148,6 +149,30 @@ def lean_attention(query, key, value, bias=None, mask=None,
         "...hqk,...khd->...qhd", e, value.astype(e.dtype), precision=precision
     )
     return o / (jnp.swapaxes(z, -3, -2) * scale)  # z -> (..., q, h, 1)
+
+
+def _expand_others(proc, c):
+    """(B, C, ...) -> (B, C, C-1, ...): row (i, j) is channel ``j`` skipping
+    ``i`` — the "every other channel" expansion of the cross-channel
+    interactions (reference models.py:236-249 builds it by list indexing).
+
+    Two exact implementations, dispatched by the measured crossover (v5e,
+    interleaved A/B medians, T=128 C=10 train step fwd+bwd): the fancy-index
+    gather (a serial while loop on TPU, scatter-add VJP) wins at the thesis
+    batch (22.56 vs 23.73ms at B=12) and in the per-step decode body; the
+    one-hot contraction (one bandwidth-bound pass each way) wins once the
+    while loop's serial cost outgrows the extra contraction passes (187.1 ->
+    183.1ms at B=64). precision=highest keeps the one-hot path exact in every
+    dtype (each output element is value*1 summed with true zeros; the
+    TPU-default single bf16 pass would round f32 values).
+    """
+    idx = np.asarray([[j for j in range(c) if j != i] for i in range(c)])
+    if proc.shape[0] < 64:
+        return proc[:, jnp.asarray(idx)]
+    onehot = jnp.asarray(
+        idx[:, :, None] == np.arange(c)[None, None, :], proc.dtype
+    )  # (C, C-1, C)
+    return jnp.einsum("cjx,bx...->bcj...", onehot, proc, precision="highest")
 
 
 class ChannelProcessingLayer(nn.Module):
@@ -303,12 +328,12 @@ class MultiChannelDecoderLayer(nn.Module):
         proc = self_vmapped(tgt_d, tgt_d, tgt_mask, deterministic)
 
         # 2. cross-channel interactions, vmapped over the source channel.
-        # For channel i the "others" are proc without row i: build via a
-        # static gather index (C, C-1).
-        others_idx = jnp.asarray(
-            [[j for j in range(c) if j != i] for i in range(c)]
-        )  # (C, C-1)
-        others = proc[:, others_idx]  # (B, C, C-1, L, E)
+        # For channel i the "others" are proc without row i — expanded by
+        # _expand_others, which dispatches between the fancy-index gather
+        # (wins at the thesis batch) and an exact one-hot contraction (wins
+        # at serving batch, where the gather's while-loop lowering costs
+        # ~1ms/layer) by the measured B>=64 crossover.
+        others = _expand_others(proc, c)  # (B, C, C-1, L, E)
         inter_vmapped = nn.vmap(
             ChannelInteractionsLayer,
             in_axes=(1, 1, None, None),
@@ -623,9 +648,6 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
     hd = e // n_heads
     scale = 1.0 / math.sqrt(hd)
     n_layers = model.num_layers
-    others_idx = jnp.asarray(
-        [[j for j in range(c) if j != i] for i in range(c)]
-    )  # (C, C-1)
 
     def ln(x, p):
         return _ln_norm(x) * p["scale"] + p["bias"]
@@ -758,7 +780,7 @@ def make_fast_generate(model: ArtSpeechTransformer, max_len: int = 0,
                 iln = icp["LayerNorm_0"]
                 # keys/values from channel c's own frame; queries from others
                 src_ln = proc_norm[:, :, None] * iln["scale"][None] + iln["bias"][None]  # (B,C,C-1,E)
-                tgt_ln = proc_norm[:, others_idx] * iln["scale"][None] + iln["bias"][None]
+                tgt_ln = _expand_others(proc_norm, c) * iln["scale"][None] + iln["bias"][None]
                 q_mlp_i = nn.relu(jnp.einsum("bcje,cjef->bcjf", tgt_ln, icp["Dense_0"]["kernel"]) + icp["Dense_0"]["bias"][None])
                 k_mlp_i = nn.relu(jnp.einsum("bcje,cjef->bcjf", src_ln, icp["Dense_1"]["kernel"]) + icp["Dense_1"]["bias"][None])
                 v_mlp_i = nn.relu(jnp.einsum("bcje,cjef->bcjf", src_ln, icp["Dense_2"]["kernel"]) + icp["Dense_2"]["bias"][None])

@@ -640,6 +640,29 @@ def main():
                 f"{b_srv * T_SRV / (dev_s or ms_s) * 1e3:,.0f} frames/s",
                 device_ms=dev_s)
 
+        # Pinned XLA-attend row: the auto path above dispatches the big
+        # (>=32MB/cache) attends to the Pallas flash decode kernel
+        # (ops/pallas_attention.py); this row is the same decode with the
+        # kernel disabled, so the kernel's in-situ win stays regression-
+        # visible (in isolation XLA streams the attend at ~689 GB/s, but
+        # inside the ~160-op step body it collapses to ~94 GB/s).
+        if b_srv == 64:
+            gen_x = jax.jit(make_fast_generate(tr, T_SRV, attend_impl="xla"))
+
+            def xla_chain(carry, gen_x=gen_x, src_s=src_s, len_s=len_s):
+                src_c, _ = carry
+                frames = gen_x(tr_params, src_c, len_s)
+                anchor = jnp.sum(frames)
+                return dep(src_c, anchor), anchor
+
+            ms_x, dev_x = measure(xla_chain, (src_s, jnp.zeros(())),
+                                  lambda c: float(c[1]), n1=2, n2=8)
+            add(f"transformer_generate_cached_T{T_SRV}_b{b_srv}_xla_attend",
+                ms_x,
+                f"B={b_srv} serving batch, flash kernel disabled, "
+                f"{b_srv * T_SRV / (dev_x or ms_x) * 1e3:,.0f} frames/s",
+                device_ms=dev_x)
+
     # --- fused synthesis pipeline ---
     from artspeech_tpu.core import constants as C
     from artspeech_tpu.geometry import generate_vocal_tract_tube_batch, tube_area_function

@@ -163,7 +163,85 @@ def _recognizer_setup(dp, b, seq, rng):
     return rstep, state, batch
 
 
-SETUPS = {"bigru": _bigru_setup, "recognizer": _recognizer_setup}
+def _transformer_setup(dp, b, seq, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from artspeech_tpu.models.transformer import ArtSpeechTransformer
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import make_mesh, shard_batch
+    from artspeech_tpu.train.state import create_train_state
+    from artspeech_tpu.train.step import make_transformer_train_step
+
+    mesh = make_mesh(jax.devices()[:dp], model_parallel=1)
+    n_art, d = 4, 10
+    model = ArtSpeechTransformer(
+        vocab_size=16, num_articulators=n_art, embed_dim=16, num_heads=2,
+        num_layers=1, num_feat=2 * d, encoder_ff_dim=32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 16, (b, seq)), jnp.int32)
+    lengths = jnp.full((b,), seq, jnp.int32)
+    targets = jnp.asarray(
+        rng.uniform(size=(b, seq, n_art, 2, d)).astype(np.float32)
+    )
+    tgt0 = targets.reshape(b, seq, n_art, 2 * d)
+    state = create_train_state(model, jax.random.PRNGKey(0), (tokens, tgt0), 1e-4)
+    state = distribute_state(state, mesh)
+    batch = shard_batch(
+        {"tokens": tokens, "targets": targets, "lengths": lengths}, mesh
+    )
+    step = make_transformer_train_step(to_mm=220.0, donate=False)
+    return step, state, batch
+
+
+def _frame_ae_setup(dp, b, seq, rng):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training.train_state import TrainState
+
+    from artspeech_tpu.models.autoencoder import (
+        MultiArticulatorAutoencoder,
+        normalize_indices_dict,
+    )
+    from artspeech_tpu.parallel.distributed import distribute_state
+    from artspeech_tpu.parallel.mesh import make_mesh, shard_batch
+    from artspeech_tpu.train.pc_step import make_autoencoder_train_step
+
+    del seq  # frame model: no time axis
+    mesh = make_mesh(jax.devices()[:dp], model_parallel=1)
+    arts = ["tongue", "upper-lip", "lower-lip", "soft-palate"]
+    indices = normalize_indices_dict({a: 2 for a in arts})
+    d = 10
+    model = MultiArticulatorAutoencoder(indices_dict=indices, in_features=2 * d)
+    inputs = jnp.asarray(rng.normal(size=(b, len(arts), 2 * d)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), inputs)["params"]
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=optax.adam(1e-4))
+    state = distribute_state(state, mesh)
+    batch = shard_batch(
+        {"inputs": inputs, "weights": jnp.ones((b,), np.float32)}, mesh
+    )
+    astep = make_autoencoder_train_step(
+        model, indices, alpha=0.1,
+        denorm_mean=jnp.zeros((len(arts), 2, d)),
+        denorm_std=jnp.ones((len(arts), 2, d)),
+        to_mm=220.0, donate=False,
+    )
+
+    @jax.jit  # jitted wrapper: static_per_device_cost needs .lower()
+    def step(st, bt, rng_key):  # uniform (state, batch, rng) signature
+        del rng_key
+        return astep(st, bt)
+
+    return step, state, batch
+
+
+SETUPS = {
+    "bigru": _bigru_setup,
+    "recognizer": _recognizer_setup,
+    "transformer": _transformer_setup,
+    "frame_ae": _frame_ae_setup,
+}
 
 
 def static_per_device_cost(name, dp, per_device_batch=2, seq=16, seed=0):

@@ -427,3 +427,24 @@ def test_composed_dropout_distribution():
     keep_one = float((one != 0).mean())
     assert abs(keep_two - (1 - composed)) < 0.012
     assert abs(keep_one - (1 - composed)) < 0.012
+
+
+def test_expand_others_both_paths_exact():
+    """_expand_others dispatches gather (B<64) vs one-hot contraction
+    (B>=64) by the measured crossover; both must reproduce the reference's
+    fancy-index expansion bit-exactly in f32 and bf16."""
+    from artspeech_tpu.models.transformer import _expand_others
+
+    rng = np.random.default_rng(0)
+    c = 5
+    idx = np.asarray([[j for j in range(c) if j != i] for i in range(c)])
+    for b in (3, 64):  # gather path, one-hot path
+        for shape in ((b, c, 7, 4), (b, c, 4)):
+            x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            ref = np.asarray(x)[:, idx]
+            np.testing.assert_array_equal(np.asarray(_expand_others(x, c)), ref)
+            xb = x.astype(jnp.bfloat16)
+            got_b = np.asarray(_expand_others(xb, c).astype(jnp.float32))
+            np.testing.assert_array_equal(
+                got_b, np.asarray(xb.astype(jnp.float32))[:, idx]
+            )
