@@ -26,12 +26,21 @@ load spike hits both sides of a ratio sample rather than one. The TPU
 side takes best-of-k; the baseline takes the PER-FRAME minimum across
 rounds (contention only ever adds time, and a spike would have to hit
 the same frame in all k rounds to survive, where best-of-round needed an
-entire spike-free round). The min/max per-round ratio band is published
-alongside as the run's visible contention level.
+entire spike-free round).
+
+Both published bands use the SAME estimator family as the headline
+(round 4 — previously the band divided by per-round mean baselines while
+the headline divided by the per-frame-min baseline, so the headline could
+sit outside its own band): ``vs_baseline_band`` is every TPU sample
+divided by the one pinned per-frame-min baseline — the headline is its
+max by construction, so it always lies inside — and
+``contention_band`` is the per-round ratio (sample i over round i's mean
+baseline), the run's visible host-contention level.
 
 Prints one JSON line:
   {"metric": "synthesis_frames_per_sec", "value": N, "unit": "frames/s",
-   "vs_baseline": N, "vs_baseline_band": [lo, hi]}
+   "vs_baseline": N, "vs_baseline_band": [lo, hi],
+   "contention_band": [lo, hi]}
 """
 
 import json
@@ -362,7 +371,7 @@ def main(k=5):
     # side's uncontended cost (medians still carried 1.9x spread here).
     # The per-round ratio band is published so the contention level of the
     # run is visible next to the headline.
-    tpu_samples, geom_rounds, ratios = [], [], []
+    tpu_samples, geom_rounds, contention = [], [], []
     for _ in range(k):
         # A TPU sample costs ~0.1s against the baseline round's seconds, and
         # the chained-slope wall time is itself inflated by host dispatch
@@ -379,7 +388,7 @@ def main(k=5):
                 measure_geometry = None
                 continue
             geom_rounds.append(times_i)
-            ratios.append(fps_i * float(np.mean(times_i)))
+            contention.append(fps_i * float(np.mean(times_i)))
             tpu_samples.append(measure_tpu())
     fps = float(max(tpu_samples))
     # Per-frame minimum across rounds: each frame's uncontended cost is its
@@ -396,10 +405,22 @@ def main(k=5):
         "unit": "frames/s",
         "vs_baseline": round(fps / geom_fps, 3) if geom_fps else None,
     }
-    if ratios:
+    if geom_fps:
+        # Same estimator as the headline (each TPU sample over the ONE
+        # pinned per-frame-min baseline): vs_baseline == band max, so the
+        # headline lies inside its own band by construction. The spread is
+        # the TPU-sample (chained-slope) dispersion of this run.
         result["vs_baseline_band"] = [
-            round(float(min(ratios)), 3),
-            round(float(max(ratios)), 3),
+            round(float(min(tpu_samples)) / geom_fps, 3),
+            round(fps / geom_fps, 3),
+        ]
+    if contention:
+        # Per-round ratios against that round's OWN mean baseline: the
+        # visible host-contention level of the run (diagnostic, not the
+        # headline estimator).
+        result["contention_band"] = [
+            round(float(min(contention)), 3),
+            round(float(max(contention)), 3),
         ]
     print(json.dumps(result))
 
