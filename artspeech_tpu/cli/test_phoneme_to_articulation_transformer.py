@@ -56,7 +56,27 @@ def main(cfg, args, tracker):
         articulators,
         clip_tails=cfg.get("clip_tails", True),
     )
-    loader = BucketedLoader(dataset, batch_size=cfg["batch_size"], shuffle=False)
+    # Autoregressive decode is inference-only and latency-bound at small
+    # batch (~90 sub-MXU matmuls per step — benchmarks/NOTES.md "Fused
+    # Mosaic decode time-loop"), so offline evaluation batches sentences at
+    # the serving width where the per-step fixed cost amortizes AND the
+    # caches reach the flash decode-attention kernel's HBM-streaming
+    # dispatch regime (>=32MB/cache, ops/pallas_attention.py): measured
+    # 3.8k -> 15k frames/s from B=4 to B=64 at T=128 f32. Dummy pad rows
+    # have length 0 and are excluded from metrics/outputs by run_test;
+    # ``generate_batch_size`` overrides (set it to batch_size to reproduce
+    # the reference's exact batching).
+    gen_bs = cfg.get("generate_batch_size")
+    if gen_bs is None:
+        # Serving default applies on the accelerator only: on host backends
+        # (the CPU test mesh) padding every batch to 64 mostly-dummy rows
+        # just multiplies eval compute.
+        gen_bs = (
+            max(cfg["batch_size"], 64)
+            if jax.default_backend() == "tpu"
+            else cfg["batch_size"]
+        )
+    loader = BucketedLoader(dataset, batch_size=gen_bs, shuffle=False)
 
     # Per-bucket dispatch between the KV-cached scan and the buffer
     # re-decode by the measured crossover band (benchmarks/BENCH_DETAILS.md

@@ -98,13 +98,33 @@ def main(cfg, args, tracker):
     tracker.log_params({"num_network_params": n_params})
     print(f"ArtSpeech -- {n_params} parameters")
 
+    # The step is built against the resolved dp mesh: at the Pallas
+    # recurrence kernels' dispatch floor (per-shard B>=64, lane-aligned
+    # hidden — train/step.py prefer_manual_spmd) fit() gets the manual-SPMD
+    # shard_map variant, the only multi-device path under which those
+    # kernels dispatch; below it the default auto-GSPMD step is identical.
+    from artspeech_tpu.train.step import prefer_manual_spmd
+
+    def build_train_step(mesh):
+        use_mesh = (
+            mesh
+            if prefer_manual_spmd(
+                mesh,
+                loaders["train"].collate_batch_size,
+                model_kwargs.get("hidden_size", 128),
+            )
+            else None
+        )
+        return make_artspeech_train_step(to_mm=to_mm, mesh=use_mesh)
+
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     result = fit(
         state,
         loaders["train"],
         loaders["valid"],
-        make_artspeech_train_step(to_mm=to_mm),
+        None,
         make_artspeech_eval_step(to_mm=to_mm),
+        train_step_factory=build_train_step,
         n_epochs=cfg["num_epochs"],
         checkpoints_dir=ckpt_dir,
         monitor="p2cp_mm",

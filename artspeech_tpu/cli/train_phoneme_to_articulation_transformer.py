@@ -90,12 +90,32 @@ def main(cfg, args, tracker):
     tracker.log_params({"num_network_params": count_parameters(state.params)})
     print(f"ArtSpeechTransformer -- {count_parameters(state.params)} parameters")
 
+    # Serving-batch training scans ~8-sentence microbatches on one chip
+    # (grad accumulation inside the jitted step): the plain step's per-frame
+    # throughput degrades past B~16 as the live cross-channel activations
+    # outgrow HBM (measured B=64 f32 44.8k -> 83.2k frames/s with k=8 —
+    # train/step.py transformer_accum_steps). Under dp the per-device shard
+    # is already small, so the policy keeps accumulation off there.
+    # ``accum_steps`` in the config overrides (1 = reference-exact batching).
+    from artspeech_tpu.train.step import transformer_accum_steps
+
+    def build_train_step(mesh):
+        accum = cfg.get(
+            "accum_steps",
+            transformer_accum_steps(
+                loaders["train"].collate_batch_size,
+                mesh.size if mesh is not None else 1,
+            ),
+        )
+        return make_transformer_train_step(to_mm=to_mm, accum_steps=accum)
+
     result = fit(
         state,
         loaders["train"],
         loaders["valid"],
-        make_transformer_train_step(to_mm=to_mm),
+        None,
         make_transformer_eval_step(to_mm=to_mm),
+        train_step_factory=build_train_step,
         n_epochs=cfg["num_epochs"],
         checkpoints_dir=os.path.join(args.output_dir, "checkpoints"),
         monitor="p2cp_mm",

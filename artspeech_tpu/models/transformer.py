@@ -421,14 +421,6 @@ class ArtSpeechTransformer(nn.Module):
     #: the (B, C, C-1, H, L, L) cross-channel attention scores — the step's
     #: bandwidth bottleneck (benchmarks/BENCH_DETAILS.md roofline notes).
     dtype: Optional[jnp.dtype] = None
-    #: checkpoint (full remat) each decoder layer. At the thesis batch (B=12)
-    #: this LOSES (see the setup() note); at serving batch (B>=64) the stored
-    #: per-layer score/pair tensors (~2GB/layer f32) exceed HBM and XLA's own
-    #: rematerialization pass starts re-running multi-ms ops ad hoc —
-    #: explicit layer-granular remat is strictly better there (measured:
-    #: benchmarks/NOTES.md "Decoder remat"). The train CLIs enable it by the
-    #: measured batch-size crossover.
-    remat_decoder: bool = False
 
     def setup(self):
         self.src_embedding = nn.Embed(self.vocab_size, self.embed_dim, dtype=self.dtype)
@@ -441,20 +433,17 @@ class ArtSpeechTransformer(nn.Module):
             )
             for _ in range(self.num_layers)
         ]
-        # NOTE: nn.remat on these layers was measured and LOSES at B=12
-        # (0.84x step, full-layer AND dots_with_no_batch_dims_saveable
-        # policies, f32 and bf16): the (B, C, C-1, H, L, L) score store is
-        # only ~10% of the step's HBM traffic there, so recompute +
-        # prevent_cse costs more than it saves (benchmarks/NOTES.md
-        # "Decoder remat"). At B>=64 the opposite holds — see remat_decoder.
-        layer_cls = MultiChannelDecoderLayer
-        if self.remat_decoder:
-            # deterministic (arg index 5; the module instance is arg 0 in
-            # flax's lifted checkpoint) is a Python bool and must stay
-            # static under jax.checkpoint.
-            layer_cls = nn.remat(MultiChannelDecoderLayer, static_argnums=(5,))
+        # NOTE: nn.remat on these layers was measured and LOSES at EVERY
+        # batch (benchmarks/NOTES.md "Decoder remat"): B=12 28.5->33.9ms
+        # f32 (0.84x; score store is only ~10% of step HBM traffic there),
+        # and at serving batch — where the live activation set DOES
+        # outgrow HBM and XLA's own spill/remat pass fires — explicit
+        # layer remat is still worse (B=64: 183->227ms f32, 101->137ms
+        # bf16): it recomputes the whole layer where XLA remats only what
+        # spills. The serving-batch fix is microbatched grad accumulation
+        # (train/step.py accum_steps), not remat.
         self.decoder_layers = [
-            layer_cls(
+            MultiChannelDecoderLayer(
                 self.embed_dim,
                 self.num_heads,
                 self.num_articulators,
@@ -494,8 +483,6 @@ class ArtSpeechTransformer(nn.Module):
         h = jnp.transpose(h, (0, 2, 1, 3))  # (B, C, L, E)
         h = self.tgt_pos_encoding(h, deterministic=deterministic)
         for layer in self.decoder_layers:
-            # deterministic POSITIONAL: under nn.remat kwargs are traced,
-            # which would turn this static bool into a tracer inside Dropout.
             h = layer(h, memory, tgt_mask, memory_mask, deterministic)
         h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, l, c * self.embed_dim)
         h = self.head_ln(h)

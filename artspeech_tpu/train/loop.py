@@ -100,6 +100,7 @@ def fit(
     resume_from: Optional[str] = None,
     epoch_callback: Optional[Callable] = None,
     mesh="auto",
+    train_step_factory: Optional[Callable] = None,
 ) -> FitResult:
     """Full training run with plateau LR, early stopping and checkpoints.
 
@@ -114,6 +115,12 @@ def fit(
     size (a 1-device mesh on a single chip — no regression), replicates the
     state onto it and shards every batch over the ``data`` axis. Pass an
     explicit Mesh (e.g. with a model axis) or ``mesh=None`` to disable.
+
+    ``train_step_factory(mesh) -> train_step`` lets the step see the
+    RESOLVED mesh (overrides ``train_step``, which may then be None): the
+    ArtSpeech family uses it to build the manual-SPMD (shard_map) step
+    variant when ``prefer_manual_spmd`` holds — the only dp path under
+    which the fused Pallas recurrence kernels dispatch (train/step.py).
     """
     from artspeech_tpu.parallel.distributed import distribute_state
     from artspeech_tpu.parallel.mesh import batch_sharding, data_parallel_mesh
@@ -123,6 +130,8 @@ def fit(
             train_loader, "collate_batch_size", getattr(train_loader, "batch_size", None)
         )
         mesh = data_parallel_mesh(collate_bs)
+    if train_step_factory is not None:
+        train_step = train_step_factory(mesh)
     sharding = batch_sharding(mesh) if mesh is not None else None
     os.makedirs(checkpoints_dir, exist_ok=True)
     best_dir = os.path.join(checkpoints_dir, "best")

@@ -54,6 +54,10 @@ def make_artspeech_train_step(
     normalization as single-device (global masked means via globally summed
     denominators); dropout masks are drawn per shard (fold_in of the data
     axis index), so trajectories match exactly only at dropout=0.
+
+    Both variants report a ``manual_spmd`` marker metric (0.0 auto-GSPMD /
+    1.0 shard_map) so epoch logs record which dp path actually ran — the
+    dp CLI equality tests assert on it.
     """
     if mesh is not None:
         return _make_artspeech_train_step_shard_map(
@@ -90,7 +94,7 @@ def make_artspeech_train_step(
             state.params
         )
         state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss}
+        metrics = {"loss": loss, "manual_spmd": jnp.zeros(())}
         if with_p2cp:
             metrics["p2cp_mm"] = p2cp_distance_mm(
                 outputs, batch["targets"], batch["lengths"], to_mm=to_mm
@@ -98,6 +102,31 @@ def make_artspeech_train_step(
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def prefer_manual_spmd(mesh, collate_batch_size, hidden_size=128) -> bool:
+    """Should dp training build the shard_map step variant?
+
+    True when the mesh has >1 devices AND the per-shard batch/hidden reach
+    the fused Pallas recurrence kernels' dispatch floor (ops/pallas_gru.py
+    ``supported``: per-shard B >= 64 and 8-aligned, lane-aligned hidden) —
+    the large-batch dp configuration the kernels were built for, which the
+    auto-GSPMD path silently falls back from (pallas_call would be
+    replicated under auto mode, so ``_spmd_safe`` disables the kernels
+    there). Below the floor the kernels would not dispatch anyway, so the
+    default auto-GSPMD step is kept: identical math, and its replicated
+    dropout stream matches the single-device reference trajectory exactly
+    (the shard_map variant folds the shard index into the dropout key).
+    Time-axis divisibility is NOT gated here — buckets vary per batch and
+    the kernel self-dispatches per shape inside the step.
+    """
+    if mesh is None or getattr(mesh, "size", 1) <= 1 or not collate_batch_size:
+        return False
+    n = mesh.size
+    if collate_batch_size % n != 0:
+        return False
+    per_shard = collate_batch_size // n
+    return per_shard >= 64 and per_shard % 8 == 0 and hidden_size % 128 == 0
 
 
 def _make_artspeech_train_step_shard_map(
@@ -163,7 +192,7 @@ def _make_artspeech_train_step_shard_map(
         loss = jax.lax.psum(loss_local, axis)
         grads = jax.lax.psum(grads, axis)
         state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss}
+        metrics = {"loss": loss, "manual_spmd": jnp.ones(())}
         if with_p2cp:
             # The global metric is a mean over VALID (length>0) sentences;
             # bucket-padding dummy rows can land unevenly across shards, so
@@ -230,14 +259,39 @@ def shift_targets_right(targets):
 
 
 def make_transformer_train_step(
-    to_mm: float, donate: bool = True, with_p2cp: bool = False
+    to_mm: float,
+    donate: bool = True,
+    with_p2cp: bool = False,
+    accum_steps: int = 1,
 ):
     """Teacher-forced training step for ArtSpeechTransformer.
 
     ``with_p2cp`` as in :func:`make_artspeech_train_step` — the reference
     trainer computes P2CP only on the valid phase
     (train_phoneme_to_articulation_transformer.py mirrors
-    train_phoneme_to_articulation.py's run_epoch split)."""
+    train_phoneme_to_articulation.py's run_epoch split).
+
+    ``accum_steps`` splits the batch into that many microbatches and
+    accumulates gradients over a ``lax.scan`` INSIDE the one jitted step
+    (single optimizer update). Why: at serving batch the decoder's live
+    activation set — the (B, C, C-1, H, L, L) cross-channel score tensor is
+    1.5GB/layer f32 at B=64/T=128 plus ~10 pair tensors of 189MB each —
+    outgrows HBM and XLA starts spilling/rematerializing ad hoc (the
+    ``.remat`` ops in the B=64 op profile; explicit ``nn.remat`` was
+    measured WORSE there: 183->227ms f32, 101->137ms bf16). Scanning
+    microbatches keeps the live set at microbatch scale with one extra
+    params read per microbatch (~24MB, negligible). The loss is EXACT:
+    each microbatch contributes ``masked_sum / n_valid_global`` with the
+    global denominator computed from the full batch's lengths up front, so
+    the accumulated loss/grads equal the full-batch ones up to float
+    summation order. Dropout draws a distinct key per microbatch (fold_in
+    of the microbatch index), so trajectories match the accum_steps=1 step
+    exactly only at dropout=0.
+    """
+    if accum_steps > 1:
+        return _make_transformer_train_step_accum(
+            to_mm, donate, with_p2cp, accum_steps
+        )
 
     def train_step(state, batch, dropout_rng):
         def loss_fn(params):
@@ -263,6 +317,115 @@ def make_transformer_train_step(
             metrics["p2cp_mm"] = p2cp_distance_mm(
                 outputs, batch["targets"], batch["lengths"], to_mm=to_mm
             )
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def transformer_accum_steps(
+    collate_batch_size, n_devices: int = 1, microbatch: int = 8
+) -> int:
+    """Measured serving-batch policy for the transformer trainer.
+
+    The plain step's per-frame throughput DEGRADES with batch on one chip
+    (v5e, T=128, C=10, f32: B=12 67.9k, B=16 64.2k, B=32 61.2k, B=64 44.8k
+    frames/s — the live cross-channel activation set outgrows HBM and XLA
+    spills); scanning ~8-sentence microbatches restores and beats the
+    small-batch rate (B=64 k=8: 83.2k f32, see benchmarks/NOTES.md
+    "Microbatched grad accumulation"). Returns ``collate_batch_size //
+    microbatch`` when the batch is big enough (>=32) and divisible;
+    1 otherwise. Under dp (``n_devices > 1``) the per-device shard is
+    already microbatch-sized, so accumulation stays off.
+    """
+    b = int(collate_batch_size or 0)
+    if n_devices > 1 or b < 32 or b % microbatch != 0:
+        return 1
+    return b // microbatch
+
+
+def _make_transformer_train_step_accum(to_mm, donate, with_p2cp, accum_steps):
+    """Microbatched (gradient-accumulation) transformer train step — see
+    :func:`make_transformer_train_step` ``accum_steps``."""
+    from artspeech_tpu.ops.distances import euclidean_distance
+    from artspeech_tpu.utils.masks import make_padding_mask
+
+    def train_step(state, batch, dropout_rng):
+        b, t = batch["tokens"].shape
+        if b % accum_steps != 0:
+            raise ValueError(
+                f"batch {b} not divisible by accum_steps={accum_steps}"
+            )
+        mb = b // accum_steps
+        mask = make_padding_mask(batch["lengths"], t)
+        targets = batch["targets"]
+        # Global denominator (depends only on lengths): every microbatch
+        # contributes masked_sum / n_valid, so the sum over microbatches is
+        # the full-batch masked mean exactly.
+        n_valid = (
+            jnp.maximum(jnp.sum(mask), 1.0) * targets.shape[2] * targets.shape[4]
+        )
+
+        def split(x):
+            return x.reshape(accum_steps, mb, *x.shape[1:])
+
+        xs = {
+            "tokens": split(batch["tokens"]),
+            "targets": split(targets),
+            "lengths": split(batch["lengths"]),
+            "idx": jnp.arange(accum_steps),
+        }
+
+        def micro_loss(params, mb_tokens, mb_targets, mb_lengths, rng):
+            tgt_in = shift_targets_right(mb_targets)
+            outputs = state.apply_fn(
+                {"params": params},
+                mb_tokens,
+                tgt_in,
+                src_lengths=mb_lengths,
+                tgt_lengths=mb_lengths,
+                deterministic=False,
+                rngs={"dropout": as_rbg_key(rng)},
+            )
+            dist = euclidean_distance(outputs, mb_targets)
+            w = make_padding_mask(mb_lengths, t)[:, :, None, None].astype(dist.dtype)
+            return jnp.sum(dist * w) / n_valid, outputs
+
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        def body(carry, x):
+            loss_acc, grads_acc, num_acc, den_acc = carry
+            rng = jax.random.fold_in(dropout_rng, x["idx"])
+            (loss_i, outputs), grads_i = grad_fn(
+                state.params, x["tokens"], x["targets"], x["lengths"], rng
+            )
+            carry = (
+                loss_acc + loss_i,
+                jax.tree_util.tree_map(jnp.add, grads_acc, grads_i),
+                num_acc,
+                den_acc,
+            )
+            if with_p2cp:
+                per_sentence, valid = p2cp_distance_mm(
+                    outputs, x["targets"], x["lengths"], to_mm=to_mm, reduce=False
+                )
+                carry = (
+                    carry[0],
+                    carry[1],
+                    num_acc + jnp.sum(per_sentence),
+                    den_acc + jnp.sum(valid),
+                )
+            return carry, None
+
+        zeros_like_params = jax.tree_util.tree_map(
+            jnp.zeros_like, state.params
+        )
+        (loss, grads, p2cp_num, p2cp_den), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zeros_like_params, jnp.zeros(()), jnp.zeros(())), xs
+        )
+        state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss}
+        if with_p2cp:
+            metrics["p2cp_mm"] = p2cp_num / jnp.maximum(p2cp_den, 1.0)
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

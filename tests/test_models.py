@@ -126,12 +126,13 @@ def test_train_step_p2cp_metric_is_opt_in():
     )
     plain = make_artspeech_train_step(to_mm=220.0, donate=False)
     _, metrics = plain(state, batch, jax.random.PRNGKey(1))
-    assert set(metrics) == {"loss"}
+    assert set(metrics) == {"loss", "manual_spmd"}
+    assert float(metrics["manual_spmd"]) == 0.0  # auto-GSPMD path marker
     with_metric = make_artspeech_train_step(
         to_mm=220.0, donate=False, with_p2cp=True
     )
     _, metrics2 = with_metric(state, batch, jax.random.PRNGKey(1))
-    assert set(metrics2) == {"loss", "p2cp_mm"}
+    assert set(metrics2) == {"loss", "p2cp_mm", "manual_spmd"}
     assert float(metrics2["loss"]) == float(metrics["loss"])
     assert np.isfinite(float(metrics2["p2cp_mm"]))
 

@@ -448,3 +448,69 @@ def test_expand_others_both_paths_exact():
             np.testing.assert_array_equal(
                 got_b, np.asarray(xb.astype(jnp.float32))[:, idx]
             )
+
+
+def test_transformer_accum_step_matches_plain():
+    """accum_steps microbatching must reproduce the plain step exactly at
+    dropout=0 (global denominator, grad-of-sum == sum-of-grads): same loss,
+    same p2cp metric, same params after two updates — including a ragged
+    batch whose dummy rows (length 0) land entirely in one microbatch."""
+    from artspeech_tpu.train.state import create_train_state
+    from artspeech_tpu.train.step import (
+        make_transformer_train_step,
+        shift_targets_right,
+    )
+
+    model = small_model()  # dropout 0.0 default
+    B, T = 4, 8
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, V, (B, T)), jnp.int32)
+    targets = jnp.asarray(rng.uniform(size=(B, T, C, 2, D)), jnp.float32)
+    lengths = jnp.asarray([T, 6, 3, 0], jnp.int32)  # dummy row in microbatch 2
+    batch = {"tokens": tokens, "targets": targets, "lengths": lengths}
+
+    import optax
+
+    from artspeech_tpu.train.state import TrainState
+
+    params0 = model.init(
+        jax.random.PRNGKey(0), tokens, shift_targets_right(targets), lengths,
+        lengths,
+    )["params"]
+    # SGD so the post-step param delta IS the grad delta times lr (adam's
+    # g/sqrt(v) normalization amplifies float-reassociation noise ~1e3x).
+    state0 = TrainState.create(
+        apply_fn=model.apply, params=params0, tx=optax.sgd(0.1)
+    )
+    plain = make_transformer_train_step(to_mm=220.0, donate=False, with_p2cp=True)
+    accum = make_transformer_train_step(
+        to_mm=220.0, donate=False, with_p2cp=True, accum_steps=2
+    )
+
+    sa, sb = state0, state0
+    for i in range(2):
+        sa, ma = plain(sa, batch, jax.random.PRNGKey(i))
+        sb, mb = accum(sb, batch, jax.random.PRNGKey(i))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(ma["p2cp_mm"]), float(mb["p2cp_mm"]), rtol=1e-5
+    )
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), sa.params, sb.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5
+
+
+def test_transformer_accum_policy():
+    """Measured serving-batch policy (benchmarks/NOTES.md "Microbatched
+    grad accumulation"): k=B/8 on one device at B>=32; off at the thesis
+    batch, off under dp (per-device shards are already microbatch-sized),
+    off when indivisible."""
+    from artspeech_tpu.train.step import transformer_accum_steps
+
+    assert transformer_accum_steps(64) == 8
+    assert transformer_accum_steps(32) == 4
+    assert transformer_accum_steps(12) == 1
+    assert transformer_accum_steps(36) == 1
+    assert transformer_accum_steps(64, n_devices=8) == 1
+    assert transformer_accum_steps(None) == 1
