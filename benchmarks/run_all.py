@@ -709,22 +709,51 @@ def main():
 
             ms_x, dev_x = measure(xla_chain, (src_s, jnp.zeros(())),
                                   lambda c: float(c[1]), n1=2, n2=8)
-            # Device parity of the flash decode-attention kernel: the same
-            # decode with attend_impl pinned to XLA must agree on the real
-            # TPU (the CI goldens run the kernel interpreted on CPU;
-            # VERDICT r3 weak #6).
-            gen_auto = jax.jit(make_fast_generate(tr, T_SRV))
-            fr_auto = gen_auto(tr_params, src_s, len_s)
-            fr_xla = gen_x(tr_params, src_s, len_s)
-            d_flash = float(jnp.max(jnp.abs(fr_auto - fr_xla)))
-            assert d_flash < 1e-3, (
+            # Device parity of the flash decode-attention kernel at the
+            # serving cache shape — PER ATTEND, against the exact XLA
+            # broadcast-multiply reference (the CI goldens run the kernel
+            # interpreted on CPU; VERDICT r3 weak #6). An end-to-end
+            # generate comparison is NOT meaningful here: per-step ~1e-6
+            # reduction noise amplifies chaotically through 128 steps of
+            # autoregressive feedback (measured 6.3e-2, exactly like the
+            # chunking note in tests/test_transformer.py), which says
+            # nothing about the kernel.
+            from artspeech_tpu.ops import pallas_attention as _pa
+
+            hd_p = tr.embed_dim // tr.num_heads
+            g_p = b_srv * C_TR * (C_TR - 1) * tr.num_heads  # inter cache
+            ck = jnp.asarray(rng.normal(size=(T_SRV, hd_p, g_p)).astype(np.float32))
+            cv = jnp.asarray(rng.normal(size=(T_SRV, hd_p, g_p)).astype(np.float32))
+            qg_p = jnp.asarray(rng.normal(size=(hd_p, g_p)).astype(np.float32))
+            t_p = jnp.int32(T_SRV // 2)
+            neg_p = jnp.finfo(jnp.float32).min
+            t_bias_p = jnp.where(
+                jnp.arange(T_SRV) <= t_p, 0.0, neg_p
+            ).astype(jnp.float32)
+
+            @jax.jit
+            def _xla_ref(ck, cv, qg, t_bias):
+                logits = jnp.sum(ck * qg[None], axis=1) + t_bias[:, None]
+                attn = jax.nn.softmax(logits, axis=0)
+                return jnp.sum(cv * attn[:, None, :], axis=0)
+
+            @jax.jit
+            def _flash(ck, cv, qg, t):
+                return _pa.flash_decode_attend(ck, cv, qg, t, T_SRV)
+
+            d_flash = float(
+                jnp.max(jnp.abs(_xla_ref(ck, cv, qg_p, t_bias_p)
+                                - _flash(ck, cv, qg_p, t_p)))
+            )
+            assert d_flash < 1e-4, (
                 f"flash decode attend diverged from XLA on device: {d_flash}"
             )
             add(f"transformer_generate_cached_T{T_SRV}_b{b_srv}_xla_attend",
                 ms_x,
                 f"B={b_srv} serving batch, flash kernel disabled, "
                 f"{b_srv * T_SRV / (dev_x or ms_x) * 1e3:,.0f} frames/s, "
-                f"device parity max|dframes|={d_flash:.1e}",
+                f"per-attend device parity max|d|={d_flash:.1e} "
+                f"(S={T_SRV} G={g_p})",
                 device_ms=dev_x)
 
     # --- fused synthesis pipeline ---
