@@ -105,6 +105,7 @@ def main(cfg, args, tracker):
             transformer_accum_steps(
                 loaders["train"].collate_batch_size,
                 mesh.size if mesh is not None else 1,
+                dtype=model.dtype,
             ),
         )
         return make_transformer_train_step(to_mm=to_mm, accum_steps=accum)

@@ -323,20 +323,27 @@ def make_transformer_train_step(
 
 
 def transformer_accum_steps(
-    collate_batch_size, n_devices: int = 1, microbatch: int = 8
+    collate_batch_size, n_devices: int = 1, dtype=None, microbatch=None
 ) -> int:
     """Measured serving-batch policy for the transformer trainer.
 
     The plain step's per-frame throughput DEGRADES with batch on one chip
     (v5e, T=128, C=10, f32: B=12 67.9k, B=16 64.2k, B=32 61.2k, B=64 44.8k
     frames/s — the live cross-channel activation set outgrows HBM and XLA
-    spills); scanning ~8-sentence microbatches restores and beats the
-    small-batch rate (B=64 k=8: 83.2k f32, see benchmarks/NOTES.md
-    "Microbatched grad accumulation"). Returns ``collate_batch_size //
-    microbatch`` when the batch is big enough (>=32) and divisible;
-    1 otherwise. Under dp (``n_devices > 1``) the per-device shard is
-    already microbatch-sized, so accumulation stays off.
+    spills); scanning small microbatches restores and beats the
+    small-batch rate. The microbatch-size sweep at B=64 (device spans
+    reproducible to 0.01ms; benchmarks/NOTES.md "Microbatched grad
+    accumulation") puts the optimum at TWO sentences for f32 (84.4ms,
+    97.1k frames/s) and FOUR for bf16 (59.6ms, 137.5k) — mb=1 regresses
+    both (the per-iteration fixed cost outgrows the spill savings) — so
+    the default microbatch is dtype-dependent unless pinned explicitly.
+    Returns ``collate_batch_size // microbatch`` when the batch is big
+    enough (>=32) and divisible; 1 otherwise. Under dp (``n_devices >
+    1``) the per-device shard is already microbatch-sized, so
+    accumulation stays off.
     """
+    if microbatch is None:
+        microbatch = 4 if str(dtype) in ("bfloat16", "bf16") else 2
     b = int(collate_batch_size or 0)
     if n_devices > 1 or b < 32 or b % microbatch != 0:
         return 1

@@ -583,11 +583,12 @@ def main():
     }
     from artspeech_tpu.train.step import transformer_accum_steps
 
-    k_accum = transformer_accum_steps(b_big)  # measured serving policy (k=8)
-    accum_step = make_transformer_train_step(
-        to_mm=220.0, donate=False, accum_steps=k_accum
-    )
     for dt in (None, "bfloat16"):
+        # measured serving policy: microbatch 2 f32 / 4 bf16 (NOTES.md)
+        k_accum = transformer_accum_steps(b_big, dtype=dt)
+        accum_step = make_transformer_train_step(
+            to_mm=220.0, donate=False, accum_steps=k_accum
+        )
         tr_b = ArtSpeechTransformer(vocab_size=64, num_articulators=C_TR,
                                     dropout=0.1, dtype=dt)
         tr_state = TrainState.create(apply_fn=tr_b.apply, params=tr_f32_params,
@@ -672,7 +673,7 @@ def main():
     # fixed per-step cost, so offline synthesis should batch sentences as
     # wide as the bucket allows. These rows pin the throughput curve.
     T_SRV = 128
-    for b_srv in (16, 64):
+    for b_srv in (16, 64, 128):
         src_s = jnp.asarray(rng.integers(0, 64, (b_srv, T_SRV)), jnp.int32)
         len_s = jnp.full((b_srv,), T_SRV, jnp.int32)
         for cd, tag16 in ((None, ""), ("bfloat16", "_bf16")):

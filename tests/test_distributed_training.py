@@ -142,6 +142,7 @@ def test_train_cli_dp8_takes_manual_spmd_at_kernel_shapes(
     cfg = _train_cfg(root, vocab_path)
     cfg["batch_size"] = 512  # per-shard 64 on the dp8 mesh: gate passes
     cfg["model_kwargs"] = {"hidden_size": 128}
+    cfg["num_epochs"] = 1  # the B=512 interpret-mode kernel epoch is ~2min
     dp_metrics = _run_train_cli(
         cfg, tmp_path / "dp8_manual", monkeypatch, tmp_path, "dp8_manual"
     )
@@ -159,7 +160,7 @@ def test_train_cli_dp8_takes_manual_spmd_at_kernel_shapes(
     single_metrics = _run_train_cli(
         cfg, tmp_path / "dp1_manual", monkeypatch, tmp_path, "dp1_manual"
     )
-    assert len(dp_metrics) == len(single_metrics) >= 2
+    assert len(dp_metrics) == len(single_metrics) >= 1
     for dp_rec, single_rec in zip(dp_metrics, single_metrics):
         assert single_rec["train_manual_spmd"] == 0.0
         for key in ("train_loss", "valid_loss", "valid_p2cp_mm"):

@@ -503,14 +503,16 @@ def test_transformer_accum_step_matches_plain():
 
 def test_transformer_accum_policy():
     """Measured serving-batch policy (benchmarks/NOTES.md "Microbatched
-    grad accumulation"): k=B/8 on one device at B>=32; off at the thesis
-    batch, off under dp (per-device shards are already microbatch-sized),
-    off when indivisible."""
+    grad accumulation"): microbatch 2 f32 / 4 bf16 on one device at B>=32;
+    off at the thesis batch, off under dp (per-device shards are already
+    microbatch-sized), off when indivisible."""
     from artspeech_tpu.train.step import transformer_accum_steps
 
-    assert transformer_accum_steps(64) == 8
-    assert transformer_accum_steps(32) == 4
+    assert transformer_accum_steps(64) == 32
+    assert transformer_accum_steps(64, dtype="bfloat16") == 16
+    assert transformer_accum_steps(32) == 16
     assert transformer_accum_steps(12) == 1
-    assert transformer_accum_steps(36) == 1
+    assert transformer_accum_steps(33) == 1
     assert transformer_accum_steps(64, n_devices=8) == 1
     assert transformer_accum_steps(None) == 1
+    assert transformer_accum_steps(64, microbatch=8) == 8
