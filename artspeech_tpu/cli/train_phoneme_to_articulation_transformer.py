@@ -108,6 +108,9 @@ def main(cfg, args, tracker):
                 dtype=model.dtype,
             ),
         )
+        print(f"transformer train step: accum_steps={accum} "
+              f"(collate batch {loaders['train'].collate_batch_size}, "
+              f"dtype={model.dtype})")
         return make_transformer_train_step(to_mm=to_mm, accum_steps=accum)
 
     result = fit(

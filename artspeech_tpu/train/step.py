@@ -11,6 +11,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from artspeech_tpu.ops.rng import as_rbg_key
 from artspeech_tpu.losses.articulation import (
@@ -343,7 +344,15 @@ def transformer_accum_steps(
     accumulation stays off.
     """
     if microbatch is None:
-        microbatch = 4 if str(dtype) in ("bfloat16", "bf16") else 2
+        # Normalize BOTH spellings the callers use: config strings
+        # ("bfloat16"/"bf16") and the jnp dtype class the train CLI passes
+        # after resolve_dtype (str(jnp.bfloat16) is "<class ...>", so a raw
+        # string compare would silently fall through to the f32 microbatch).
+        try:
+            name = np.dtype(dtype).name if dtype is not None else None
+        except TypeError:
+            name = str(dtype)
+        microbatch = 4 if name in ("bfloat16", "bf16") else 2
     b = int(collate_batch_size or 0)
     if n_devices > 1 or b < 32 or b % microbatch != 0:
         return 1

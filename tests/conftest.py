@@ -31,4 +31,4 @@ jax.config.update(
         os.path.join(os.path.expanduser("~"), ".cache", "artspeech_tpu_xla_tests"),
     ),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -41,6 +41,13 @@ def test_dryrun_multichip_driver_invocation():
     assert proc.returncode == 0, f"rc={proc.returncode}\n{proc.stdout}\n{proc.stderr}"
     assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
     assert "'data': 4" in proc.stdout and "'model': 2" in proc.stdout
+    # All seven families, incl. the serving (synthesize->recognize) pipeline
+    # (VERDICT r4 item 7) and the manual-SPMD artspeech step.
+    for family in (
+        "artspeech=", "transformer=", "recognizer=", "latent_rnn=",
+        "frame_autoencoder=", "artspeech_shard_map=", "serving_pipeline=",
+    ):
+        assert family in proc.stdout, f"missing dryrun family {family}"
 
 
 def test_dryrun_impl_degrades_to_available_devices():

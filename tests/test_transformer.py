@@ -510,6 +510,11 @@ def test_transformer_accum_policy():
 
     assert transformer_accum_steps(64) == 32
     assert transformer_accum_steps(64, dtype="bfloat16") == 16
+    # The train CLI passes model.dtype AFTER resolve_dtype — i.e. the jnp
+    # dtype class, not a string. Both spellings must hit the bf16 optimum.
+    assert transformer_accum_steps(64, dtype=jnp.bfloat16) == 16
+    assert transformer_accum_steps(64, dtype=jnp.float32) == 32
+    assert transformer_accum_steps(64, dtype="bf16") == 16
     assert transformer_accum_steps(32) == 16
     assert transformer_accum_steps(12) == 1
     assert transformer_accum_steps(33) == 1
