@@ -163,6 +163,22 @@ def main(cfg, args, tracker):
     tracker.log_params({"num_network_params": count_parameters(params)})
     print(f"DeepSpeech2 -- {count_parameters(params)} parameters")
 
+    # Serving-batch training scans thesis-batch (8) microbatches inside the
+    # jitted step — the recognizer's per-frame throughput degrades past the
+    # thesis batch exactly like the transformer's (measured B=8 211k -> B=64
+    # 94k frames/s f32; recognizer_accum_steps). ``accum_steps`` in the
+    # config overrides (1 = reference-exact batching).
+    from artspeech_tpu.train.recognition_step import recognizer_accum_steps
+
+    accum = cfg.get(
+        "accum_steps",
+        recognizer_accum_steps(
+            loaders["train"].collate_batch_size, mesh.size, dtype=model.dtype
+        ),
+    )
+    if accum > 1:
+        print(f"recognition train step: accum_steps={accum} "
+              f"(collate batch {loaders['train'].collate_batch_size})")
     train_step = make_recognition_train_step(
         model,
         criterion,
@@ -171,6 +187,7 @@ def main(cfg, args, tracker):
         use_voicing=use_voicing,
         logits_large_margins=cfg.get("logits_large_margins", 0.0),
         class_weights=class_weights,
+        accum_steps=accum,
     )
     eval_step = make_recognition_eval_step(
         model,

@@ -50,6 +50,30 @@ def ctc_loss(log_probs, targets, input_lengths, target_lengths, blank_id: int = 
     return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def ctc_loss_parts(log_probs, targets, input_lengths, target_lengths,
+                   blank_id: int = 0):
+    """Numerator/denominator split of :func:`ctc_loss` — ``(sum of
+    per-sequence normalized losses, valid-sequence count)``. Summing the
+    parts over microbatches and dividing once reproduces the full-batch
+    mean EXACTLY (the denominator depends only on ``target_lengths``), which
+    is what the accumulated recognition train step needs."""
+    t = log_probs.shape[1]
+    n = targets.shape[1]
+    logit_paddings = 1.0 - make_padding_mask(input_lengths, t).astype(log_probs.dtype)
+    label_paddings = 1.0 - make_padding_mask(target_lengths, n).astype(log_probs.dtype)
+    per_seq = optax.ctc_loss(
+        log_probs,
+        logit_paddings,
+        jnp.maximum(targets, 0),
+        label_paddings,
+        blank_id=blank_id,
+    )
+    per_seq = per_seq / jnp.maximum(target_lengths.astype(per_seq.dtype), 1.0)
+    valid = (target_lengths > 0).astype(per_seq.dtype)
+    per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0) * valid
+    return jnp.sum(per_seq), jnp.sum(valid)
+
+
 def load_class_weights(filepath: str, vocabulary) -> jnp.ndarray:
     """Per-class CE weights from a {token: weight} JSON, aligned to the
     ACTUAL vocabulary ids (reference metrics.py:94-105 prepends 1.0 and
@@ -96,3 +120,25 @@ def cross_entropy_loss(
     else:
         w = mask
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def cross_entropy_loss_parts(
+    logits,
+    targets,
+    input_lengths,
+    target_lengths=None,
+    class_weights: Optional[jnp.ndarray] = None,
+):
+    """Numerator/denominator split of :func:`cross_entropy_loss` —
+    ``(weighted NLL sum, weight sum)`` for exact microbatched accumulation
+    (the weight sum depends only on lengths and targets, not on params)."""
+    t = logits.shape[1]
+    mask = make_padding_mask(input_lengths, t).astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = jnp.maximum(targets, 0)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # (B, T)
+    if class_weights is not None:
+        w = class_weights[tgt] * mask
+    else:
+        w = mask
+    return jnp.sum(nll * w), jnp.sum(w)

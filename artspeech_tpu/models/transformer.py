@@ -25,7 +25,7 @@ import numpy as np
 import flax.linen as nn
 
 from artspeech_tpu.models.heads import ArticulatorPredictor
-from artspeech_tpu.ops import pallas_attention
+from artspeech_tpu.ops import pallas_attention, pallas_train_attention
 from artspeech_tpu.utils.masks import make_padding_mask
 
 
@@ -293,6 +293,292 @@ class ChannelInteractionsLayer(nn.Module):
         return nn.relu(jnp.matmul(_norm_f32(concat).astype(dt), k) + bb)
 
 
+# Shared initializer instances: jax caches the traced sampler per closure
+# identity, so a fresh variance_scaling(...) per parameter would recompile
+# its ~3s truncated-normal program for every draw (measured: 20 params x
+# 3.4s at init). One instance per axis config keeps init at 3 compiles.
+_STACKED_LECUN = {
+    axes: nn.initializers.variance_scaling(
+        1.0, "fan_in", "truncated_normal",
+        in_axis=axes[0], out_axis=axes[1], batch_axis=(0, 1),
+    )
+    for axes in (((-2,), (-1,)), ((-3,), (-2, -1)), ((-3, -2), (-1,)))
+}
+
+
+class _StackedParamPair(nn.Module):
+    """Parameter bag: {kernel, bias} with explicit stacked shapes/inits —
+    reproduces the tree one ``nn.Dense``/``DenseGeneral`` leaves under a
+    double ``nn.vmap`` lift (leading (C, C-1) axes)."""
+
+    kshape: tuple
+    bshape: tuple
+    kin_axis: tuple = (-2,)
+    kout_axis: tuple = (-1,)
+
+    @nn.compact
+    def __call__(self):
+        init = _STACKED_LECUN[(self.kin_axis, self.kout_axis)]
+        return (
+            self.param("kernel", init, self.kshape),
+            self.param("bias", nn.initializers.zeros, self.bshape),
+        )
+
+
+class _StackedLayerNormParams(nn.Module):
+    """{scale, bias} with an explicit stacked shape."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, self.shape),
+            self.param("bias", nn.initializers.zeros, self.shape),
+        )
+
+
+class FusedChannelInteractions(nn.Module):
+    """The cross-channel interactions stack (reference models.py:103-162) as
+    EXPLICIT stacked-parameter einsums instead of a double ``nn.vmap`` lift,
+    with the attention dispatchable to the fused Pallas training kernel
+    (ops/pallas_train_attention.py) so the (B, C, C-1, H, L, L) score
+    tensor — the decoder's HBM bottleneck at serving batch — never
+    materializes.
+
+    STATUS: measured reference, NOT the production path. On v5e at the
+    serving accum optimum this formulation LOSES to the nn.vmap lift —
+    bf16 B=64 accum16: 59.6ms (vmap) vs 65.4ms (explicit einsums, XLA
+    attend) vs 225ms (Pallas attend: hd=16 dots cost ~5.5us per 8-group
+    grid step against XLA's fully pipelined batched dots, plus 61.5ms of
+    layout copies feeding the merged-G operands). Full table + roofline in
+    benchmarks/NOTES.md "Fused training attention". Kept because the tree-
+    identical param bags and the golden tests
+    (tests/test_pallas_train_attention.py) document exactly what was
+    measured, and because the folded-projection variant remains the
+    starting point if a future Mosaic release changes the small-dot
+    economics.
+
+    Parameter tree, shapes and math are IDENTICAL to the previous
+    ``nn.vmap(ChannelInteractionsLayer)`` path (instantiated under the same
+    ``VmapChannelInteractionsLayer_0`` name; golden-tested against the
+    module formulation in tests/test_transformer.py) — the same folded-
+    LayerNorm trick keeps the per-pair K/V MLP contraction reading the
+    UNBATCHED normalized source. Dropout semantics match flax exactly:
+    composed-rate input dropout (see ChannelInteractionsLayer docstring),
+    per-(c, j)-pair attention-probability keep masks broadcast over batch
+    and heads (flax ``broadcast_dropout`` under split rngs), and the plain
+    concat dropout.
+
+    The Pallas attend applies the causal mask only: under a causal mask
+    every key <= a valid query is itself valid, and invalid queries get
+    zero cotangent from the mask-aware loss, so key-padding masking is
+    unobservable in any loss-visible output or gradient. The einsum
+    fallback (off-TPU-unsupported shapes) applies the full ``tgt_mask``.
+    """
+
+    embed_dim: int
+    num_heads: int
+    num_channels: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, proc, tgt_mask=None, deterministic: bool = True):
+        """proc: (B, C, L, E) post-self-attention channels -> (B, C, L, E)."""
+        b, c, l, e = proc.shape
+        h = self.num_heads
+        hd = e // h
+        n_pairs = c * (c - 1)
+        dt = self.dtype or jnp.promote_types(proc.dtype, jnp.float32)
+
+        p = _InterCPLParams(
+            c=c, e=e, heads=h, name="VmapChannelProcessingLayer_0"
+        )()
+
+        composed = 1.0 - (1.0 - self.dropout) ** 2
+        drop_in = nn.Dropout(composed)
+        src = drop_in(proc, deterministic=deterministic)
+        others = _expand_others(proc, c)  # (B, C, C-1, L, E)
+        others = drop_in(others, deterministic=deterministic)
+
+        src_n = _norm_f32(src)  # (B, C, L, E)
+        others_n = _norm_f32(others)  # (B, C, C-1, L, E)
+
+        def fold(kernel, bias):
+            k = (p["ln_scale"][..., None] * kernel).astype(dt)
+            bb = (
+                jnp.einsum("cje,cjef->cjf", p["ln_bias"], kernel) + bias
+            ).astype(dt)
+            return k, bb
+
+        qk, qb = fold(p["q_kernel"], p["q_bias"])
+        kk, kb = fold(p["k_kernel"], p["k_bias"])
+        vk, vb = fold(p["v_kernel"], p["v_bias"])
+
+        # Queries from the OTHER channels, keys/values from the channel's
+        # own frames (reference models.py:147-158) — pair-major outputs so
+        # the merged-group kernel layout needs no extra transpose.
+        q_mlp = nn.relu(
+            jnp.einsum("bcjle,cjef->cjblf", others_n.astype(dt), qk)
+            + qb[:, :, None, None]
+        )
+        k_mlp = nn.relu(
+            jnp.einsum("bcle,cjef->cjblf", src_n.astype(dt), kk)
+            + kb[:, :, None, None]
+        )
+        v_mlp = nn.relu(
+            jnp.einsum("bcle,cjef->cjblf", src_n.astype(dt), vk)
+            + vb[:, :, None, None]
+        )
+
+        scale = 1.0 / math.sqrt(hd)
+        q = (
+            jnp.einsum("cjblf,cjfhd->cjbhld", q_mlp, p["mha_q_kernel"].astype(dt))
+            + p["mha_q_bias"][:, :, None, :, None].astype(dt)
+        ) * scale
+        k = (
+            jnp.einsum("cjblf,cjfhd->cjbhld", k_mlp, p["mha_k_kernel"].astype(dt))
+            + p["mha_k_bias"][:, :, None, :, None].astype(dt)
+        )
+        v = (
+            jnp.einsum("cjblf,cjfhd->cjbhld", v_mlp, p["mha_v_kernel"].astype(dt))
+            + p["mha_v_bias"][:, :, None, :, None].astype(dt)
+        )
+
+        use_dropout = (not deterministic) and self.dropout > 0.0
+        if use_dropout:
+            keep_prob = 1.0 - self.dropout
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), keep_prob, (n_pairs, l, l)
+            ).astype(jnp.float32) / keep_prob
+            keep_pairs = n_pairs
+        else:
+            keep = jnp.ones((1, l, l), jnp.float32)
+            keep_pairs = 1
+
+        g = n_pairs * b * h
+        if pallas_train_attention.supported(g, l, hd, g // keep_pairs):
+            av = pallas_train_attention.fused_causal_attend(
+                q.reshape(g, l, hd).astype(jnp.float32),
+                k.reshape(g, l, hd).astype(jnp.float32),
+                v.reshape(g, l, hd).astype(jnp.float32),
+                keep,
+                keep_pairs,
+            ).reshape(c, c - 1, b, h, l, hd).astype(dt)
+        else:
+            # XLA fallback: materialized scores, full tgt_mask semantics.
+            s = jnp.einsum("cjbhld,cjbhmd->cjbhlm", q.astype(dt), k.astype(dt))
+            causal = jnp.tril(jnp.ones((l, l), bool))
+            mask = causal[None, None, None, None]
+            if tgt_mask is not None:
+                # tgt_mask: (B, 1, L, L) bool -> (1, 1, B, 1, L, L)
+                mask = mask & tgt_mask[None, None]
+            s = jnp.where(mask, s, jnp.finfo(s.dtype).min)
+            m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+            ex = jnp.exp(s - m)
+            z = jnp.sum(ex, axis=-1, keepdims=True)
+            probs = ex / z
+            probs = probs * keep.reshape(c, c - 1, 1, 1, l, l) if use_dropout \
+                else probs
+            av = jnp.einsum("cjbhlm,cjbhmd->cjbhld", probs, v.astype(probs.dtype))
+
+        out_i = (
+            jnp.einsum("cjbhld,cjhde->cjble", av, p["mha_out_kernel"].astype(dt))
+            + p["mha_out_bias"][:, :, None, None].astype(dt)
+        )
+        outs = q_mlp + out_i  # (C, C-1, B, L, E) query residual
+
+        # concat channels -> (B, C, L, (C-1)*E)
+        concat = jnp.transpose(outs, (2, 0, 3, 1, 4)).reshape(
+            b, c, l, (c - 1) * e
+        )
+        concat = nn.Dropout(self.dropout)(concat, deterministic=deterministic)
+
+        ln2_s, ln2_b = _StackedLayerNormParams(
+            (c, (c - 1) * e), name="LayerNorm_0"
+        )()
+        proj_k, proj_b = _StackedParamPair(
+            (c, (c - 1) * e, e), (c, e), kin_axis=(-2,), kout_axis=(-1,),
+            name="Dense_0",
+        )()
+        kf = (ln2_s[:, :, None] * proj_k).astype(dt)
+        bf = (jnp.einsum("cx,cxe->ce", ln2_b, proj_k) + proj_b).astype(dt)
+        return nn.relu(
+            jnp.einsum("bclx,cxe->bcle", _norm_f32(concat).astype(dt), kf)
+            + bf[:, None]
+        )
+
+
+class _InterCPLParams(nn.Module):
+    """Parameter bag reproducing the double-vmapped ChannelProcessingLayer
+    subtree (LayerNorm_0, Dense_0/1/2 Q/K/V MLPs,
+    MultiHeadDotProductAttention_0 q/k/v/out projections) with stacked
+    (C, C-1) leading axes — tree-identical to the nn.vmap formulation."""
+
+    c: int
+    e: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        c, e, h = self.c, self.e, self.heads
+        ln_s, ln_b = _StackedLayerNormParams((c, c - 1, e), name="LayerNorm_0")()
+        q_k, q_b = _StackedParamPair(
+            (c, c - 1, e, e), (c, c - 1, e), name="Dense_0"
+        )()
+        k_k, k_b = _StackedParamPair(
+            (c, c - 1, e, e), (c, c - 1, e), name="Dense_1"
+        )()
+        v_k, v_b = _StackedParamPair(
+            (c, c - 1, e, e), (c, c - 1, e), name="Dense_2"
+        )()
+        mha = _InterMHAParams(c=c, e=e, heads=h,
+                              name="MultiHeadDotProductAttention_0")()
+        return {
+            "ln_scale": ln_s, "ln_bias": ln_b,
+            "q_kernel": q_k, "q_bias": q_b,
+            "k_kernel": k_k, "k_bias": k_b,
+            "v_kernel": v_k, "v_bias": v_b,
+            **mha,
+        }
+
+
+class _InterMHAParams(nn.Module):
+    """{query, key, value, out} DenseGeneral param pairs, stacked (C, C-1)."""
+
+    c: int
+    e: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        c, e, h = self.c, self.e, self.heads
+        hd = e // h
+        q_k, q_b = _StackedParamPair(
+            (c, c - 1, e, h, hd), (c, c - 1, h, hd),
+            kin_axis=(-3,), kout_axis=(-2, -1), name="query",
+        )()
+        k_k, k_b = _StackedParamPair(
+            (c, c - 1, e, h, hd), (c, c - 1, h, hd),
+            kin_axis=(-3,), kout_axis=(-2, -1), name="key",
+        )()
+        v_k, v_b = _StackedParamPair(
+            (c, c - 1, e, h, hd), (c, c - 1, h, hd),
+            kin_axis=(-3,), kout_axis=(-2, -1), name="value",
+        )()
+        o_k, o_b = _StackedParamPair(
+            (c, c - 1, h, hd, e), (c, c - 1, e),
+            kin_axis=(-3, -2), kout_axis=(-1,), name="out",
+        )()
+        return {
+            "mha_q_kernel": q_k, "mha_q_bias": q_b,
+            "mha_k_kernel": k_k, "mha_k_bias": k_b,
+            "mha_v_kernel": v_k, "mha_v_bias": v_b,
+            "mha_out_kernel": o_k, "mha_out_bias": o_b,
+        }
+
+
 class MultiChannelDecoderLayer(nn.Module):
     """Self per channel -> cross-channel -> cross-memory -> FF
     (reference models.py:165-277). All per-channel layers are vmapped."""
@@ -333,6 +619,18 @@ class MultiChannelDecoderLayer(nn.Module):
         # (wins at the thesis batch) and an exact one-hot contraction (wins
         # at serving batch, where the gather's while-loop lowering costs
         # ~1ms/layer) by the measured B>=64 crossover.
+        #
+        # MEASURED NEGATIVE RESULT (round 5, benchmarks/NOTES.md "Fused
+        # training attention"): dispatching this stack to the explicit
+        # einsum formulation with the Pallas fused-attention kernel
+        # (FusedChannelInteractions + ops/pallas_train_attention.py) LOSES
+        # at the serving accum optimum — bf16 B=64 accum16: 59.6 -> 225ms
+        # (kernel per-grid-step cost ~5.5us on tiny hd=16 dots + 61.5ms of
+        # layout copies feeding the merged-G operands), and even the
+        # kernel-less explicit einsums regress to 65.4ms. The nn.vmap lift
+        # stays the production path; the explicit layer is kept as the
+        # measured reference, golden-tested against this one
+        # (tests/test_pallas_train_attention.py).
         others = _expand_others(proc, c)  # (B, C, C-1, L, E)
         inter_vmapped = nn.vmap(
             ChannelInteractionsLayer,

@@ -13,11 +13,17 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from artspeech_tpu.ops.rng import as_rbg_key
 from artspeech_tpu.eval.decoders import greedy_ctc_decode
-from artspeech_tpu.losses.recognition import cross_entropy_loss, ctc_loss
+from artspeech_tpu.losses.recognition import (
+    cross_entropy_loss,
+    cross_entropy_loss_parts,
+    ctc_loss,
+    ctc_loss_parts,
+)
 from artspeech_tpu.models.deepspeech2 import get_noise_logits
 from artspeech_tpu.ops.melspec import dynamic_range_compression, melspectrogram
 
@@ -68,6 +74,33 @@ def make_feature_fn(
     return feature_fn
 
 
+def recognizer_accum_steps(collate_batch_size, n_devices: int = 1,
+                           dtype=None, microbatch=None) -> int:
+    """Measured serving-batch policy for the recognizer trainer.
+
+    Like the transformer (train/step.py transformer_accum_steps), the
+    recognizer's per-frame throughput DEGRADES with batch on one chip
+    (v5e, 5.1s audio, melspec+CTC, f32 device: B=8 211k, B=32 107k, B=64
+    94k frames/s — bench_details.json recognizer_train_step rows): the
+    conv-stack activation live set outgrows HBM and XLA spills. Scanning
+    small microbatches restores and beats the small-batch rate. The
+    microbatch sweep at B=64 (device spans; round 5): f32 mb 64/16/8/4 =
+    219/150/113/109ms -> optimum FOUR; bf16 = 167/108/84/99ms -> optimum
+    EIGHT (244k frames/s, 2.0x over plain in both dtypes). Off under dp
+    (per-device shards are already small) and for indivisible batches.
+    """
+    if microbatch is None:
+        try:
+            name = np.dtype(dtype).name if dtype is not None else None
+        except TypeError:
+            name = str(dtype)
+        microbatch = 8 if name in ("bfloat16", "bf16") else 4
+    b = int(collate_batch_size or 0)
+    if n_devices > 1 or b < 32 or b % microbatch != 0:
+        return 1
+    return b // microbatch
+
+
 def make_recognition_train_step(
     model,
     criterion: str,
@@ -79,9 +112,25 @@ def make_recognition_train_step(
     blank_id: int = 0,
     melspec_kwargs: Optional[dict] = None,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
-    """criterion: "ctc" | "ce"; target_key: e.g. "ctc_target"."""
+    """criterion: "ctc" | "ce"; target_key: e.g. "ctc_target".
+
+    ``accum_steps > 1`` scans that many microbatches inside the jitted
+    step, accumulating gradients — EXACT for both criteria because the
+    loss denominators (valid-sequence count for CTC, pad/class-weight sum
+    for CE) depend only on the batch, so they are computed globally before
+    the scan and every microbatch contributes numerator/global_denominator
+    (losses/recognition.py *_parts). See :func:`recognizer_accum_steps`
+    for the measured policy.
+    """
     feature_fn = make_feature_fn(feature, **(melspec_kwargs or {}))
+    if accum_steps > 1:
+        return _make_recognition_train_step_accum(
+            feature_fn, criterion, target_key, use_voicing,
+            logits_large_margins, class_weights, blank_id, donate,
+            accum_steps,
+        )
 
     def train_step(state, batch, rng):
         def loss_fn(params):
@@ -119,6 +168,102 @@ def make_recognition_train_step(
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _make_recognition_train_step_accum(
+    feature_fn, criterion, target_key, use_voicing, logits_large_margins,
+    class_weights, blank_id, donate, accum_steps,
+):
+    """Microbatched (gradient-accumulation) recognition train step — see
+    :func:`make_recognition_train_step` ``accum_steps``."""
+
+    def train_step(state, batch, rng):
+        b = batch["input_lengths"].shape[0]
+        if b % accum_steps != 0:
+            raise ValueError(f"batch {b} not divisible by accum_steps={accum_steps}")
+        mb = b // accum_steps
+        targets = batch[target_key]
+        target_lengths = batch[f"{target_key}_lengths"]
+
+        # Global denominator: depends only on lengths/targets, never params.
+        if criterion == "ctc":
+            den = jnp.maximum(
+                jnp.sum((target_lengths > 0).astype(jnp.float32)), 1.0
+            )
+        else:
+            t_full = batch["audio"].shape[1] if "audio" in batch else None
+            # CE weight-sum from a dry mask pass: weights are
+            # class_weights[target] * pad_mask, computable without logits.
+            from artspeech_tpu.utils.masks import make_padding_mask
+
+            t_frames = targets.shape[1]
+            mask = make_padding_mask(batch["input_lengths"], t_frames).astype(
+                jnp.float32
+            )
+            if class_weights is not None:
+                den = jnp.maximum(
+                    jnp.sum(class_weights[jnp.maximum(targets, 0)] * mask), 1.0
+                )
+            else:
+                den = jnp.maximum(jnp.sum(mask), 1.0)
+            del t_full
+
+        def split(x):
+            return x.reshape(accum_steps, mb, *x.shape[1:])
+
+        xs = {k: split(v) for k, v in batch.items()}
+        xs["idx"] = jnp.arange(accum_steps)
+
+        def micro_loss(params, mb_batch, mb_rng):
+            inputs = feature_fn(mb_batch)
+            voicing = mb_batch["voicing"] if use_voicing else None
+            logits = state.apply_fn(
+                {"params": params},
+                inputs,
+                voicing=voicing,
+                lengths=mb_batch["input_lengths"],
+                deterministic=False,
+                rngs={"dropout": as_rbg_key(mb_rng)},
+            )
+            if logits_large_margins > 0.0:
+                noise_rng = jax.random.fold_in(mb_rng, 1)
+                logits = get_noise_logits(logits, logits_large_margins, noise_rng)
+            if criterion == "ctc":
+                log_probs = jax.nn.log_softmax(logits, axis=-1)
+                num, _ = ctc_loss_parts(
+                    log_probs,
+                    mb_batch[target_key],
+                    mb_batch["input_lengths"],
+                    mb_batch[f"{target_key}_lengths"],
+                    blank_id=blank_id,
+                )
+            else:
+                num, _ = cross_entropy_loss_parts(
+                    logits,
+                    mb_batch[target_key],
+                    mb_batch["input_lengths"],
+                    class_weights=class_weights,
+                )
+            return num / den
+
+        grad_fn = jax.value_and_grad(micro_loss)
+
+        def body(carry, x):
+            loss_acc, grads_acc = carry
+            mb_rng = jax.random.fold_in(rng, x["idx"])
+            mb_batch = {k: v for k, v in x.items() if k != "idx"}
+            loss_i, grads_i = grad_fn(state.params, mb_batch, mb_rng)
+            return (
+                loss_acc + loss_i,
+                jax.tree_util.tree_map(jnp.add, grads_acc, grads_i),
+            ), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zeros), xs)
         state = state.apply_gradients(grads=grads)
         return state, {"loss": loss}
 

@@ -436,3 +436,84 @@ def test_frame_signal_short_audio_center_false():
     assert out.shape == (2, 0, 1024)
     out = frame_signal(jnp.zeros((2, 700)), 1000, 300, center=False)  # gather path
     assert out.shape == (2, 0, 1000)
+
+
+def test_recognition_accum_step_matches_plain():
+    """The microbatched recognition step (accum_steps>1) must be EXACT:
+    same loss and same params after updates as the plain step, dropout=0
+    (global denominators precomputed from lengths/targets; see
+    losses/recognition.py *_parts). Covers CTC (length-normalized,
+    zero_infinity semantics incl. a dummy row) and CE (class weights)."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from artspeech_tpu.models.deepspeech2 import DeepSpeech2
+    from artspeech_tpu.train.recognition_step import (
+        make_recognition_train_step,
+        recognizer_accum_steps,
+    )
+
+    rng = np.random.default_rng(7)
+    b, n_feat, t = 8, 12, 16
+    model = DeepSpeech2(
+        in_channels=2, num_residual_layers=1, num_rnn_layers=1,
+        rnn_hidden_size=16, num_classes=6, num_features=n_feat, dropout=0.0,
+    )
+    features = jnp.asarray(rng.normal(size=(b, 2, n_feat, t)), jnp.float32)
+    input_lengths = jnp.asarray([t, t, 10, 5, t, 8, t, 0], jnp.int32)
+
+    for criterion, target_key, targets, tlen, cw in (
+        (
+            "ctc", "ctc_target",
+            jnp.asarray(rng.integers(1, 6, (b, 5)), jnp.int32),
+            jnp.asarray([5, 4, 3, 2, 5, 3, 4, 0], jnp.int32),
+            None,
+        ),
+        (
+            "ce", "frame_target",
+            jnp.asarray(rng.integers(0, 6, (b, t)), jnp.int32),
+            None,
+            jnp.asarray(rng.uniform(0.5, 1.5, (6,)), jnp.float32),
+        ),
+    ):
+        batch = {
+            "features": features,
+            "input_lengths": input_lengths,
+            target_key: targets,
+        }
+        # the plain step reads {target_key}_lengths unconditionally
+        batch[f"{target_key}_lengths"] = tlen if tlen is not None else input_lengths
+        params = model.init(
+            jax.random.PRNGKey(0), features, lengths=input_lengths
+        )["params"]
+        state0 = TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.sgd(0.1)
+        )
+        plain = make_recognition_train_step(
+            model, criterion, target_key, feature="vocal_tract",
+            class_weights=cw, donate=False,
+        )
+        accum = make_recognition_train_step(
+            model, criterion, target_key, feature="vocal_tract",
+            class_weights=cw, donate=False, accum_steps=4,
+        )
+        sa, ma = plain(state0, batch, jax.random.PRNGKey(1))
+        sb, mb = accum(state0, batch, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(ma["loss"]), float(mb["loss"]), rtol=1e-5
+        )
+        deltas = jax.tree_util.tree_map(
+            lambda a, b2: float(jnp.max(jnp.abs(a - b2))), sa.params, sb.params
+        )
+        assert max(jax.tree_util.tree_leaves(deltas)) < 5e-5, criterion
+
+    # measured policy (B=64 sweep, round 5): microbatch 4 f32 / 8 bf16 at
+    # serving batches; off at the thesis batch, under dp, or indivisible.
+    assert recognizer_accum_steps(64) == 16
+    assert recognizer_accum_steps(64, dtype=jnp.bfloat16) == 8
+    assert recognizer_accum_steps(64, dtype="bfloat16") == 8
+    assert recognizer_accum_steps(32) == 8
+    assert recognizer_accum_steps(8) == 1
+    assert recognizer_accum_steps(64, n_devices=8) == 1
+    assert recognizer_accum_steps(62) == 1
+    assert recognizer_accum_steps(None) == 1
