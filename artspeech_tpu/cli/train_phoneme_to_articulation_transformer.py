@@ -135,12 +135,16 @@ def main(cfg, args, tracker):
     # Per-bucket dispatch between the KV-cached scan and the buffer
     # re-decode by the measured crossover band (benchmarks/BENCH_DETAILS.md
     # "Generate crossover"): never slower at any bucket length.
-    # generate_cache_dtype: "bfloat16" opts into half-storage KV caches
-    # (~1.7x faster decode at thesis sentence lengths, ~5e-2 contour
-    # delta from rounding feedback — see make_fast_generate).
-    apply_fn = make_auto_generate(
-        model, cache_dtype=cfg.get("generate_cache_dtype")
-    )
+    # generate_cache_dtype defaults to bfloat16 KV caches (round 5): the
+    # bf16-cache decode wins at EVERY length (T=128 b64: 571 -> 338ms) and
+    # the rounding cost was measured in P2CP-mm on a synthetic-corpus-
+    # trained model — trajectory delta 0.15mm, quality-vs-target delta
+    # 0.0014mm (benchmarks/NOTES.md "Serving cache dtype"); set
+    # generate_cache_dtype: float32 for bit-level reference parity.
+    cache_dtype = cfg.get("generate_cache_dtype", "bfloat16")
+    if str(cache_dtype).lower() in ("float32", "fp32", "none"):
+        cache_dtype = None
+    apply_fn = make_auto_generate(model, cache_dtype=cache_dtype)
 
     info = run_test(
         best_state.params,

@@ -35,13 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 #: widest production block (g_block=1152) — comfortably double-buffered.
 S_CHUNK = 32
 
-#: per-(k,v) cache-prefix size above which the decode's attend fusions are
-#: HBM-streamed by XLA (the ~94 GB/s in-situ regime the kernel rescues);
-#: below it the caches stay VMEM-resident and XLA's fused attend wins.
-#: Measured end-to-end (BENCH_DETAILS.md decode section): flash 3.2x at the
-#: 188MB B=64 inter cache, 1.8x at 47MB (B=16 f32), tie at 23.6MB (B=16
-#: bf16), 0.54x at 21MB (B=64 self cache).
-HBM_STREAM_BYTES = 32 * 2**20
+#: per-(k,v) cache-prefix size above which the decode's attends dispatch to
+#: the flash kernel. Round 3 pinned this at 32MB from an end-to-end sweep
+#: ("flash 0.54x at the 21MB B=64 self cache") — but every flash call then
+#: paid a hidden prefix-materialization (see flash_decode_attend), which
+#: handicapped exactly the small-cache shapes. Re-swept after the fix
+#: (round 5, B=64 T=128 bf16 device): dispatching the 5-10MB self caches
+#: too takes the decode 298 -> 205ms (40k frames/s); B=4 is unchanged at
+#: either threshold. 4MB keeps the truly VMEM-resident shapes (sub-MB
+#: thesis-batch self caches) on XLA's fused attend.
+HBM_STREAM_BYTES = 4 * 2**20
 
 #: lane-axis block candidates, widest first; the first divisor of G wins so
 #: every block is full (no padded-lane garbage entering the online softmax).
@@ -145,8 +148,12 @@ def flash_decode_attend(cache_k, cache_v, qg, t, p_end):
             pltpu.VMEM((hd, g_block), jnp.float32),
         ],
     )
-    k_p = jax.lax.slice_in_dim(cache_k, 0, p_end, axis=0)
-    v_p = jax.lax.slice_in_dim(cache_v, 0, p_end, axis=0)
+    # The FULL caches are passed; the sequential grid only runs to
+    # p_end // S_CHUNK, so the kernel never DMAs a row past the live
+    # prefix. (A jax.lax.slice_in_dim(cache, 0, p_end) here — the round-3
+    # formulation — forced XLA to MATERIALIZE the prefix before every
+    # kernel launch: 9ms x 6 slices per decode step at the B=64 serving
+    # shape, 57ms of the 362ms T=128 decode. Round-5 op profile.)
     return pl.pallas_call(
         _flash_kernel,
         grid_spec=grid_spec,
@@ -155,4 +162,4 @@ def flash_decode_attend(cache_k, cache_v, qg, t, p_end):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(jnp.asarray([t], jnp.int32), k_p, v_p, qg)
+    )(jnp.asarray([t], jnp.int32), cache_k, cache_v, qg)
