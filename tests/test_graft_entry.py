@@ -57,6 +57,8 @@ def test_dryrun_impl_degrades_to_available_devices():
     import __graft_entry__ as g
 
     # Ask for more devices than exist in this 8-device CPU test env; the
-    # impl must clamp and still run (mesh over the 8 available).
+    # impl must clamp and still run (mesh over the 8 available). One
+    # family suffices — the full seven run in the driver-invocation test
+    # above; re-running them all here doubled the file's wall time.
     assert len(jax.devices()) == 8
-    g._dryrun_impl(8)
+    g._dryrun_impl(8, families=("artspeech",))
